@@ -1,0 +1,24 @@
+"""Test harness: force an 8-virtual-device CPU platform.
+
+All unit tests run on CPU with a virtual 8-device mesh so multi-chip sharding
+code paths compile and execute without TPU hardware. The environment may have
+already registered a TPU PJRT plugin and pinned ``JAX_PLATFORMS`` — we
+override the platform through jax.config (which wins over the env var) before
+any computation runs.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu"
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
