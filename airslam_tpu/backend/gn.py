@@ -1,0 +1,546 @@
+"""Batched Levenberg-Marquardt bundle adjustment with Schur-complement
+elimination — the TPU-native replacement for g2o's sparse optimizer
+(``LocalmapOptimization``/``GlobalBA``/``FrameOptimization`` in
+src/g2o_optimization/g2o_optimization.cc).
+
+TPU-first formulation
+---------------------
+g2o builds an incremental sparse graph and factorizes with CHOLMOD-style
+solvers — pointer-chasing that maps terribly to an MXU. Here the problem is a
+*dense fixed-shape grid*:
+
+- observations live on (landmark, frame) grids — each landmark is observed at
+  most once per frame, so a (P, F) boolean mask fully describes the topology;
+- per-observation Jacobians come from ``vmap(jacfwd)`` over the grid (exact,
+  batched — the reference uses per-edge numeric differentiation);
+- landmark blocks (3×3 points / 4×4 lines) are inverted in closed form in one
+  batched op, and the Schur complement is a handful of einsums;
+- the reduced camera system (≤ F·15+2 dims for a sliding window) is solved
+  *dense* — at these sizes a dense Cholesky on the MXU beats any sparse
+  factorization;
+- fixed vertices are handled by masking their Jacobian columns and pinning
+  the diagonal, so one compiled program serves every fix pattern.
+
+LM damping/accept logic follows g2o's Levenberg strategy (gain-ratio ρ,
+λ ← λ·max(⅓, 1−(2ρ−1)³) on accept, λ ← λ·ν, ν ← 2ν on reject).
+
+Robust weighting: Huber with δ² = the chi² threshold (δ = sqrt(cfg.*)), as in
+g2o_optimization.cc:200-276; the chi²-gating schedule (optimize(5) → drop
+outlier obs → optimize(15)) is driven by :mod:`airslam_tpu.backend.windows`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from airslam_tpu.backend import residuals as res
+from airslam_tpu.core import lie
+
+POSE_DIM = 6
+VEL_DIM = 3
+BIAS_DIM = 6
+FRAME_DIM = POSE_DIM + VEL_DIM + BIAS_DIM  # 15
+GRAV_DIM = 2
+
+
+class FrameStates(NamedTuple):
+    Rwb: jax.Array  # (F, 3, 3)
+    twb: jax.Array  # (F, 3)
+    vel: jax.Array  # (F, 3)
+    bg: jax.Array  # (F, 3)
+    ba: jax.Array  # (F, 3)
+
+
+class IMUFactors(NamedTuple):
+    """K preintegration factors; factor k links frames idx_i[k] → idx_j[k]."""
+
+    idx_i: jax.Array  # (K,) int32
+    idx_j: jax.Array  # (K,)
+    dR: jax.Array  # (K, 3, 3)
+    dV: jax.Array  # (K, 3)
+    dP: jax.Array  # (K, 3)
+    JRg: jax.Array  # (K, 3, 3)
+    JVg: jax.Array
+    JVa: jax.Array
+    JPg: jax.Array
+    JPa: jax.Array
+    bg_lin: jax.Array  # (K, 3) linearization gyro bias
+    ba_lin: jax.Array  # (K, 3)
+    dT: jax.Array  # (K,)
+    info: jax.Array  # (K, 9, 9) PSD-projected inverse preintegration covariance
+    info_walk: jax.Array  # (K, 6, 6) bias random-walk information (gyr then acc)
+    mask: jax.Array  # (K,) bool
+
+
+class BAProblem(NamedTuple):
+    frames: FrameStates
+    pose_fixed: jax.Array  # (F,) bool
+    vel_fixed: jax.Array  # (F,) bool (velocity + biases)
+    points: jax.Array  # (P, 3)
+    point_fixed: jax.Array  # (P,) bool
+    point_obs: jax.Array  # (P, F, 3) — (u, v, u_r); u_r < 0 ⇒ mono
+    point_obs_mask: jax.Array  # (P, F) bool
+    lines: jax.Array  # (L, 6) Plücker (w, d)
+    line_fixed: jax.Array  # (L,) bool
+    line_obs: jax.Array  # (L, F, 8)
+    line_obs_stereo: jax.Array  # (L, F) bool
+    line_obs_mask: jax.Array  # (L, F) bool
+    Rwg: jax.Array  # (3, 3) gravity direction
+    gravity_fixed: bool
+    imu: Optional[IMUFactors]
+    # camera
+    Rcb: jax.Array  # (3, 3)
+    tcb: jax.Array  # (3,)
+
+
+class BAConfig(NamedTuple):
+    """Chi² thresholds (OptimizationConfig, read_configs.h / vo_euroc.yaml)."""
+
+    mono_point: float = 50.0
+    stereo_point: float = 75.0
+    mono_line: float = 50.0
+    stereo_line: float = 75.0
+    line_sigma: float = 0.5  # pixel_sigma information scale ("rate" in cfg)
+    imu_info_scale: float = 1e-2  # g2o_optimization.cc:321
+
+
+# ---------------------------------------------------------------------------
+# residual/jacobian evaluation over the dense grids
+# ---------------------------------------------------------------------------
+
+
+def _point_grid_residuals(problem: BAProblem, intr, with_jac: bool):
+    """Returns r (P,F,3), row_mask (P,F,3), depth_ok (P,F) and optionally
+    Jc (P,F,3,6), Jp (P,F,3,3)."""
+    fr = problem.frames
+
+    def one(Rwb, twb, point, obs):
+        def f(delta):
+            R2, t2 = res.retract_pose(Rwb, twb, delta[0:6])
+            Rcw, tcw = res.pose_to_camera(R2, t2, problem.Rcb, problem.tcb)
+            r, z = res.point_residual(Rcw, tcw, point + delta[6:9], obs, intr)
+            return r, z
+
+        if with_jac:
+            J, (r, z) = _jac_with_value(f, 9)
+            return r, z, J[:, 0:6], J[:, 6:9]
+        r, z = f(jnp.zeros((9,), problem.points.dtype))
+        return r, z, None, None
+
+    def over_frames(point, obs_row):
+        return jax.vmap(lambda R, t, o: one(R, t, point, o))(fr.Rwb, fr.twb, obs_row)
+
+    r, z, Jc, Jp = jax.vmap(over_frames)(problem.points, problem.point_obs)
+    is_stereo = problem.point_obs[..., 2] >= 0
+    row_mask = jnp.stack(
+        [
+            problem.point_obs_mask,
+            problem.point_obs_mask,
+            problem.point_obs_mask & is_stereo,
+        ],
+        axis=-1,
+    ).astype(r.dtype)
+    return r, row_mask, z > 0, Jc, Jp
+
+
+def _jac_with_value(f, n):
+    """Forward-mode Jacobian at zero + primal value, for f: (n,) -> (out, aux)."""
+    zero = jnp.zeros((n,))
+
+    def split(delta):
+        out = f(delta)
+        return out[0], out
+
+    J, out = jax.jacfwd(split, has_aux=True)(zero)
+    return J, out
+
+
+def _line_grid_residuals(problem: BAProblem, intr, with_jac: bool):
+    fr = problem.frames
+
+    def one(Rwb, twb, line, obs):
+        def f(delta):
+            R2, t2 = res.retract_pose(Rwb, twb, delta[0:6])
+            Rcw, tcw = res.pose_to_camera(R2, t2, problem.Rcb, problem.tcb)
+            line2 = lie.line_orthonormal_oplus(line, delta[6:10])
+            r = res.line_residual(Rcw, tcw, line2, obs, intr)
+            return r, r
+
+        if with_jac:
+            J, (r, _) = _jac_with_value(f, 10)
+            return r, J[:, 0:6], J[:, 6:10]
+        r, _ = f(jnp.zeros((10,), problem.lines.dtype))
+        return r, None, None
+
+    def over_frames(line, obs_row):
+        return jax.vmap(lambda R, t, o: one(R, t, line, o))(fr.Rwb, fr.twb, obs_row)
+
+    r, Jc, Jl = jax.vmap(over_frames)(problem.lines, problem.line_obs)
+    row_mask = jnp.stack(
+        [
+            problem.line_obs_mask,
+            problem.line_obs_mask,
+            problem.line_obs_mask & problem.line_obs_stereo,
+            problem.line_obs_mask & problem.line_obs_stereo,
+        ],
+        axis=-1,
+    ).astype(r.dtype)
+    return r, row_mask, Jc, Jl
+
+
+def _imu_residuals(problem: BAProblem, with_jac: bool):
+    """Residuals/Jacobians for IMU factors. Delta layout per factor:
+    (frame_i 15 | frame_j 15 | gravity 2) = 32."""
+    fr = problem.frames
+    imu = problem.imu
+
+    def one(k):
+        i = imu.idx_i[k]
+        j = imu.idx_j[k]
+        Ri, ti, vi = fr.Rwb[i], fr.twb[i], fr.vel[i]
+        Rj, tj, vj = fr.Rwb[j], fr.twb[j], fr.vel[j]
+        bgj, baj = fr.bg[j], fr.ba[j]
+        bgi, bai = fr.bg[i], fr.ba[i]
+
+        def f(delta):
+            di, dj, dg = delta[0:15], delta[15:30], delta[30:32]
+            Ri2, ti2 = res.retract_pose(Ri, ti, di[0:6])
+            Rj2, tj2 = res.retract_pose(Rj, tj, dj[0:6])
+            vi2 = vi + di[6:9]
+            vj2 = vj + dj[6:9]
+            bgj2 = bgj + dj[9:12]
+            baj2 = baj + dj[12:15]
+            Rwg2 = problem.Rwg @ lie.so3_exp(jnp.concatenate([dg, jnp.zeros(1)]))
+            r9 = res.imu_residual(
+                Ri2, ti2, vi2, Rj2, tj2, vj2, bgj2, baj2,
+                imu.dR[k], imu.dV[k], imu.dP[k],
+                imu.JRg[k], imu.JVg[k], imu.JVa[k], imu.JPg[k], imu.JPa[k],
+                imu.bg_lin[k], imu.ba_lin[k], imu.dT[k], Rwg2, _G,
+            )
+            # bias random walk: bg_j − bg_i, ba_j − ba_i (EdgeGyr/EdgeAcc)
+            rw = jnp.concatenate(
+                [bgj2 - (bgi + di[9:12]), baj2 - (bai + di[12:15])]
+            )
+            r = jnp.concatenate([r9, rw])
+            return r, r
+
+        if with_jac:
+            J, (r, _) = _jac_with_value(f, 32)
+            return r, J
+        r, _ = f(jnp.zeros((32,)))
+        return r, None
+
+    ks = jnp.arange(imu.idx_i.shape[0])
+    return jax.vmap(one)(ks)
+
+
+_G = 9.81  # overridden via set_gravity
+
+
+def set_gravity(g: float):
+    global _G
+    _G = float(g)
+
+
+# ---------------------------------------------------------------------------
+# chi² and robust cost
+# ---------------------------------------------------------------------------
+
+
+def point_chi2(problem: BAProblem, intr):
+    """Per-observation chi² (P, F) + depth-positive flag, for gating/inliers
+    (mono: 2 rows, stereo: 3 — matches e->chi2() with identity information)."""
+    r, row_mask, depth_ok, _, _ = _point_grid_residuals(problem, intr, with_jac=False)
+    chi2 = jnp.sum(r * r * row_mask, axis=-1)
+    return chi2, depth_ok
+
+
+def line_chi2(problem: BAProblem, intr, sigma: float):
+    r, row_mask, _, _ = _line_grid_residuals(problem, intr, with_jac=False)
+    return jnp.sum(r * r * row_mask, axis=-1) * sigma
+
+
+def _huber_cost(chi2, delta2, active):
+    lin = 2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2
+    return jnp.sum(jnp.where(active, jnp.where(chi2 <= delta2, chi2, lin), 0.0))
+
+
+def total_cost(problem: BAProblem, intr, cfg: BAConfig, robust: bool):
+    pchi2, _ = point_chi2(problem, intr)
+    is_stereo = problem.point_obs[..., 2] >= 0
+    pthr = jnp.where(is_stereo, cfg.stereo_point, cfg.mono_point)
+    active_p = problem.point_obs_mask
+    lchi2 = line_chi2(problem, intr, cfg.line_sigma)
+    lthr = jnp.where(problem.line_obs_stereo, cfg.stereo_line, cfg.mono_line)
+    active_l = problem.line_obs_mask
+    if robust:
+        cost = _huber_cost(pchi2, pthr, active_p) + _huber_cost(lchi2, lthr, active_l)
+    else:
+        cost = jnp.sum(jnp.where(active_p, pchi2, 0.0)) + jnp.sum(
+            jnp.where(active_l, lchi2, 0.0)
+        )
+    if problem.imu is not None:
+        r, _ = _imu_residuals(problem, with_jac=False)
+        r9, rw = r[:, :9], r[:, 9:]
+        info9 = problem.imu.info * cfg.imu_info_scale
+        c_imu = jnp.einsum("ki,kij,kj->k", r9, info9, r9)
+        c_walk = jnp.einsum("ki,kij,kj->k", rw, problem.imu.info_walk, rw)
+        if robust:
+            # Huber delta² = 16.92 on the 9-d residual (g2o_optimization.cc:321)
+            cost = cost + _huber_cost(c_imu, 16.92, problem.imu.mask)
+        else:
+            cost = cost + jnp.sum(jnp.where(problem.imu.mask, c_imu, 0.0))
+        cost = cost + jnp.sum(jnp.where(problem.imu.mask, c_walk, 0.0))
+    return cost
+
+
+# ---------------------------------------------------------------------------
+# normal equations assembly + Schur solve
+# ---------------------------------------------------------------------------
+
+
+def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bool):
+    """One damped LM solve. Returns (dx_frames (F,15), dRwg tangent (2,),
+    dpoints (P,3), dlines (L,4))."""
+    f = problem.frames.Rwb.shape[0]
+    p = problem.points.shape[0]
+    l = problem.lines.shape[0]
+    D = f * FRAME_DIM + GRAV_DIM
+    dtype = problem.points.dtype
+
+    H = jnp.zeros((D, D), dtype)
+    b = jnp.zeros((D,), dtype)
+
+    pose_cols = jnp.arange(POSE_DIM)
+
+    def frame_slice(fi):
+        return fi * FRAME_DIM
+
+    # -- points ------------------------------------------------------------
+    r, row_mask, depth_ok, Jc, Jp = _point_grid_residuals(problem, intr, True)
+    is_stereo = problem.point_obs[..., 2] >= 0
+    thr = jnp.where(is_stereo, cfg.stereo_point, cfg.mono_point)
+    chi2 = jnp.sum(r * r * row_mask, axis=-1)
+    w = res.huber_weight(chi2, thr) if robust else jnp.ones_like(chi2)
+    w = w * problem.point_obs_mask
+    # zero out fixed-pose columns / fixed-point columns
+    pose_free = (~problem.pose_fixed).astype(dtype)  # (F,)
+    Jc = Jc * row_mask[..., None] * pose_free[None, :, None, None]
+    point_free = ((~problem.point_fixed)).astype(dtype)
+    Jp = Jp * row_mask[..., None] * point_free[:, None, None, None]
+    rw = r * row_mask
+
+    Hcc_pt = jnp.einsum("pf,pfri,pfrj->fij", w, Jc, Jc)
+    bc_pt = -jnp.einsum("pf,pfri,pfr->fi", w, Jc, rw)
+    Hpp = jnp.einsum("pf,pfri,pfrj->pij", w, Jp, Jp)
+    bp = -jnp.einsum("pf,pfri,pfr->pi", w, Jp, rw)
+    Wcp = jnp.einsum("pf,pfri,pfrj->pfij", w, Jc, Jp)  # (P, F, 6, 3)
+
+    # -- lines -------------------------------------------------------------
+    lr, lrow_mask, LJc, LJl = _line_grid_residuals(problem, intr, True)
+    lthr = jnp.where(problem.line_obs_stereo, cfg.stereo_line, cfg.mono_line)
+    lchi2 = jnp.sum(lr * lr * lrow_mask, axis=-1) * cfg.line_sigma
+    lw = res.huber_weight(lchi2, lthr) if robust else jnp.ones_like(lchi2)
+    lw = lw * problem.line_obs_mask * cfg.line_sigma
+    LJc = LJc * lrow_mask[..., None] * pose_free[None, :, None, None]
+    line_free = ((~problem.line_fixed)).astype(dtype)
+    LJl = LJl * lrow_mask[..., None] * line_free[:, None, None, None]
+    lrw = lr * lrow_mask
+
+    Hcc_ln = jnp.einsum("lf,lfri,lfrj->fij", lw, LJc, LJc)
+    bc_ln = -jnp.einsum("lf,lfri,lfr->fi", lw, LJc, lrw)
+    Hll = jnp.einsum("lf,lfri,lfrj->lij", lw, LJl, LJl)
+    bl = -jnp.einsum("lf,lfri,lfr->li", lw, LJl, lrw)
+    Wcl = jnp.einsum("lf,lfri,lfrj->lfij", lw, LJc, LJl)  # (L, F, 6, 4)
+
+    # scatter pose blocks into the big H
+    Hcc = Hcc_pt + Hcc_ln  # (F, 6, 6)
+    bc = bc_pt + bc_ln
+    for_idx = jnp.arange(f) * FRAME_DIM
+
+    rows = (for_idx[:, None] + pose_cols[None, :]).reshape(-1)  # (F*6,)
+    H = H.at[jnp.ix_(rows, rows)].add(_blockdiag(Hcc))
+    b = b.at[rows].add(bc.reshape(-1))
+
+    # -- IMU ---------------------------------------------------------------
+    if problem.imu is not None:
+        ir, iJ = _imu_residuals(problem, True)  # (K, 15), (K, 15, 32)
+        imu = problem.imu
+        info9 = imu.info * cfg.imu_info_scale
+        if robust:
+            c_imu = jnp.einsum("ki,kij,kj->k", ir[:, :9], info9, ir[:, :9])
+            wi = res.huber_weight(c_imu, jnp.full_like(c_imu, 16.92))
+        else:
+            wi = jnp.ones((ir.shape[0],), dtype)
+        wi = wi * imu.mask
+
+        # information for all 15 residual rows: blockdiag(info9*w, info_walk)
+        big_info = jnp.zeros((ir.shape[0], 15, 15), dtype)
+        big_info = big_info.at[:, :9, :9].set(info9 * wi[:, None, None])
+        big_info = big_info.at[:, 9:15, 9:15].set(
+            imu.info_walk * imu.mask[:, None, None].astype(dtype)
+        )
+
+        # column masks: fixed frames / fixed vel+bias / fixed gravity
+        def col_mask_for(idx):
+            pf = (~problem.pose_fixed[idx]).astype(dtype)
+            vf = (~problem.vel_fixed[idx]).astype(dtype)
+            return jnp.concatenate(
+                [jnp.full((6,), 1.0) * pf, jnp.full((9,), 1.0) * vf]
+            )
+
+        cm_i = jax.vmap(col_mask_for)(imu.idx_i)  # (K, 15)
+        cm_j = jax.vmap(col_mask_for)(imu.idx_j)
+        g_free = 0.0 if problem.gravity_fixed else 1.0
+        cm = jnp.concatenate([cm_i, cm_j, jnp.full((ir.shape[0], 2), g_free)], axis=1)
+        iJ = iJ * cm[:, None, :]
+
+        JtW = jnp.einsum("krc,krs->ksc", iJ, big_info)  # (K, 15, 32)
+        Hk = jnp.einsum("ksc,ksd->kcd", JtW, iJ)  # (K, 32, 32)
+        bk = -jnp.einsum("ksc,ks->kc", JtW, ir)  # (K, 32)
+
+        # scatter each factor's 32×32 block into H
+        def factor_cols(k):
+            base_i = imu.idx_i[k] * FRAME_DIM
+            base_j = imu.idx_j[k] * FRAME_DIM
+            ci = base_i + jnp.arange(FRAME_DIM)
+            cj = base_j + jnp.arange(FRAME_DIM)
+            cg = f * FRAME_DIM + jnp.arange(GRAV_DIM)
+            return jnp.concatenate([ci, cj, cg])
+
+        cols = jax.vmap(factor_cols)(jnp.arange(ir.shape[0]))  # (K, 32)
+
+        def scatter_one(carry, kc):
+            Hc, bc2 = carry
+            Hk_k, bk_k, col = kc
+            Hc = Hc.at[col[:, None], col[None, :]].add(Hk_k)
+            bc2 = bc2.at[col].add(bk_k)
+            return (Hc, bc2), None
+
+        (H, b), _ = jax.lax.scan(scatter_one, (H, b), (Hk, bk, cols))
+
+    # -- damping + fixed-variable pinning ----------------------------------
+    lamI = lam * jnp.ones((D,), dtype)
+    H = H + jnp.diag(lamI)
+    # pin untouched dims (fixed frames' pose/vel/bias cols are all-zero rows)
+    diag = jnp.diagonal(H)
+    H = H + jnp.diag(jnp.where(diag < 1e-10, 1.0, 0.0))
+
+    Hpp_d = Hpp + lam * jnp.eye(3, dtype=dtype)[None]
+    Hpp_d = Hpp_d + jnp.eye(3, dtype=dtype)[None] * (
+        (jnp.einsum("pii->p", Hpp) < 1e-10).astype(dtype)[:, None, None]
+    )
+    Hll_d = Hll + lam * jnp.eye(4, dtype=dtype)[None]
+    Hll_d = Hll_d + jnp.eye(4, dtype=dtype)[None] * (
+        (jnp.einsum("lii->l", Hll) < 1e-10).astype(dtype)[:, None, None]
+    )
+
+    Hpp_inv = jnp.linalg.inv(Hpp_d)
+    Hll_inv = jnp.linalg.inv(Hll_d)
+
+    # -- Schur complement onto the pose rows -------------------------------
+    S_pt = jnp.einsum("pfab,pbc,pgdc->fgad", Wcp, Hpp_inv, Wcp)  # (F, F, 6, 6)
+    S_ln = jnp.einsum("lfab,lbc,lgdc->fgad", Wcl, Hll_inv, Wcl)
+    bs_pt = jnp.einsum("pfab,pbc,pc->fa", Wcp, Hpp_inv, bp)
+    bs_ln = jnp.einsum("lfab,lbc,lc->fa", Wcl, Hll_inv, bl)
+
+    S_big = _expand_pose_blocks(S_pt + S_ln, f, D)
+    H = H - S_big
+    b = b.at[rows].add(-(bs_pt + bs_ln).reshape(-1))
+
+    dx = jnp.linalg.solve(H, b)
+
+    # -- back-substitute landmarks ----------------------------------------
+    dxc = dx.reshape(-1)[: f * FRAME_DIM].reshape(f, FRAME_DIM)[:, :POSE_DIM]  # (F, 6)
+    dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - jnp.einsum("pfij,fi->pj", Wcp, dxc))
+    dl = jnp.einsum("lij,lj->li", Hll_inv, bl - jnp.einsum("lfij,fi->lj", Wcl, dxc))
+
+    dx_frames = dx[: f * FRAME_DIM].reshape(f, FRAME_DIM)
+    dg = dx[f * FRAME_DIM :]
+    return dx_frames, dg, dp, dl
+
+
+def _blockdiag(blocks):
+    """(F, k, k) -> (F*k, F*k) block-diagonal."""
+    f, k, _ = blocks.shape
+    eye = jnp.eye(f, dtype=blocks.dtype)
+    return jnp.einsum("fg,fij->figj", eye, blocks).reshape(f * k, f * k)
+
+
+def _expand_pose_blocks(S, f, D):
+    """(F, F, 6, 6) pose-block matrix -> (D, D) with pose rows at stride 15."""
+    out = jnp.zeros((D, D), S.dtype)
+    big = S.transpose(0, 2, 1, 3).reshape(f * POSE_DIM, f * POSE_DIM)
+    rows = (jnp.arange(f)[:, None] * FRAME_DIM + jnp.arange(POSE_DIM)[None, :]).reshape(-1)
+    return out.at[jnp.ix_(rows, rows)].set(big)
+
+
+def apply_update(problem: BAProblem, dx_frames, dg, dp, dl) -> BAProblem:
+    fr = problem.frames
+    Rwb, twb = jax.vmap(res.retract_pose)(fr.Rwb, fr.twb, dx_frames[:, 0:6])
+    new_frames = FrameStates(
+        Rwb=Rwb,
+        twb=twb,
+        vel=fr.vel + dx_frames[:, 6:9],
+        bg=fr.bg + dx_frames[:, 9:12],
+        ba=fr.ba + dx_frames[:, 12:15],
+    )
+    Rwg = problem.Rwg @ lie.so3_exp(jnp.concatenate([dg, jnp.zeros(1, dg.dtype)]))
+    new_lines = jax.vmap(lie.line_orthonormal_oplus)(problem.lines, dl)
+    return problem._replace(
+        frames=new_frames,
+        points=problem.points + dp,
+        lines=new_lines,
+        Rwg=Rwg if not problem.gravity_fixed else problem.Rwg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# LM driver
+# ---------------------------------------------------------------------------
+
+
+def optimize(
+    problem: BAProblem,
+    intr,
+    cfg: BAConfig,
+    iterations: int,
+    robust: bool = True,
+    tau: float = 1e-5,
+) -> BAProblem:
+    """Run ``iterations`` LM steps (g2o Levenberg strategy) and return the
+    updated problem. Jit-able; call under jax.jit for production."""
+
+    cost0 = total_cost(problem, intr, cfg, robust)
+    lam0 = tau * 100.0  # g2o: tau * max(diag(H)); diag ~O(1e2) for pixel terms
+
+    def with_state(state):
+        frames, points, lines, Rwg = state
+        return problem._replace(frames=frames, points=points, lines=lines, Rwg=Rwg)
+
+    def body(carry, _):
+        state, lam, nu, cost = carry
+        prob = with_state(state)
+        dxf, dg, dp, dl = _assemble_and_solve(prob, intr, cfg, lam, robust)
+        cand = apply_update(prob, dxf, dg, dp, dl)
+        new_cost = total_cost(cand, intr, cfg, robust)
+        accept = new_cost < cost
+
+        cand_state = (cand.frames, cand.points, cand.lines, cand.Rwg)
+        state2 = jax.tree_util.tree_map(
+            lambda a, b2: jnp.where(accept, a, b2), cand_state, state
+        )
+        # g2o-style damping adaptation (simplified gain ratio)
+        lam2 = jnp.where(accept, lam / 3.0, lam * nu)
+        nu2 = jnp.where(accept, 2.0, nu * 2.0)
+        cost2 = jnp.where(accept, new_cost, cost)
+        return (state2, lam2, nu2, cost2), new_cost
+
+    state0 = (problem.frames, problem.points, problem.lines, problem.Rwg)
+    (state, _, _, _), _ = jax.lax.scan(
+        body, (state0, lam0, 2.0, cost0), None, length=iterations
+    )
+    return with_state(state)

@@ -1,0 +1,269 @@
+"""Optimization windows: the reference's g2o entry points re-expressed on the
+batched LM core.
+
+- :func:`local_ba` ↔ ``LocalmapOptimization`` (g2o_optimization.cc:79-444):
+  robust optimize(5) → chi² outlier gating (+ depth-positive check for
+  points) → non-robust optimize(15) on inliers → final inlier flags.
+- :func:`pose_only_optimization` ↔ ``FrameOptimization``
+  (g2o_optimization.cc:446-898): landmarks fixed, up to ``rounds`` × 10
+  iterations with per-round chi² relabeling; returns the inlier count.
+- :func:`pose_graph_optimization` ↔ ``PoseGraphOptimization``
+  (g2o_optimization.cc:1431-1486): relative-pose edges, 20 iterations,
+  solved as one dense LM problem (6·F dims — dense Cholesky on MXU).
+- :func:`imu_initialization` ↔ ``IMUInitialization``
+  (g2o_optimization.cc:900-1082) plus the closed-form seeds
+  :func:`compute_gyr_bias` / :func:`compute_velocity`
+  (g2o_optimization.cc:1136-1229).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from airslam_tpu.backend import gn
+from airslam_tpu.backend import residuals as res
+from airslam_tpu.core import lie
+
+
+def local_ba(
+    problem: gn.BAProblem,
+    intr,
+    cfg: gn.BAConfig = gn.BAConfig(),
+    iters1: int = 5,
+    iters2: int = 15,
+):
+    """Two-stage sliding-window BA with chi² gating. Returns
+    (problem, point_inlier (P, F), line_inlier (L, F))."""
+    problem = gn.optimize(problem, intr, cfg, iters1, robust=True)
+
+    # gate outliers (g2o_optimization.cc:350-385)
+    pchi2, depth_ok = gn.point_chi2(problem, intr)
+    is_stereo = problem.point_obs[..., 2] >= 0
+    pthr = jnp.where(is_stereo, cfg.stereo_point, cfg.mono_point)
+    p_in = (pchi2 <= pthr) & depth_ok & problem.point_obs_mask
+    lchi2 = gn.line_chi2(problem, intr, cfg.line_sigma)
+    lthr = jnp.where(problem.line_obs_stereo, cfg.stereo_line, cfg.mono_line)
+    l_in = (lchi2 <= lthr) & problem.line_obs_mask
+
+    gated = problem._replace(point_obs_mask=p_in, line_obs_mask=l_in)
+    gated = gn.optimize(gated, intr, cfg, iters2, robust=False)
+
+    # final inlier flags (g2o_optimization.cc:389-407) on the original masks
+    final = gated._replace(
+        point_obs_mask=problem.point_obs_mask, line_obs_mask=problem.line_obs_mask
+    )
+    pchi2, depth_ok = gn.point_chi2(final, intr)
+    point_inlier = (pchi2 <= pthr) & depth_ok & problem.point_obs_mask
+    lchi2 = gn.line_chi2(final, intr, cfg.line_sigma)
+    line_inlier = (lchi2 <= lthr) & problem.line_obs_mask
+    return final, point_inlier, line_inlier
+
+
+def pose_only_optimization(
+    problem: gn.BAProblem,
+    intr,
+    cfg: gn.BAConfig = gn.BAConfig(),
+    rounds: int = 3,
+    iters: int = 10,
+):
+    """Pose-only optimization: all landmarks fixed (the caller sets
+    ``point_fixed``/``line_fixed`` to all-True). Per round: optimize with the
+    Huber kernel on currently-active observations, then relabel by chi².
+    Returns (problem, point_inlier, line_inlier, num_inliers)."""
+    problem = problem._replace(
+        point_fixed=jnp.ones_like(problem.point_fixed),
+        line_fixed=jnp.ones_like(problem.line_fixed),
+    )
+    base_p_mask = problem.point_obs_mask
+    base_l_mask = problem.line_obs_mask
+    is_stereo = problem.point_obs[..., 2] >= 0
+    pthr = jnp.where(is_stereo, cfg.stereo_point, cfg.mono_point)
+    lthr = jnp.where(problem.line_obs_stereo, cfg.stereo_line, cfg.mono_line)
+
+    for _ in range(rounds):
+        problem = gn.optimize(problem, intr, cfg, iters, robust=True)
+        pchi2, depth_ok = gn.point_chi2(problem, intr)
+        p_in = (pchi2 <= pthr) & depth_ok & base_p_mask
+        lchi2 = gn.line_chi2(problem, intr, cfg.line_sigma)
+        l_in = (lchi2 <= lthr) & base_l_mask
+        problem = problem._replace(point_obs_mask=p_in, line_obs_mask=l_in)
+
+    num_inliers = jnp.sum(p_in) + jnp.sum(l_in)
+    return problem._replace(point_obs_mask=base_p_mask, line_obs_mask=base_l_mask), p_in, l_in, num_inliers
+
+
+# ---------------------------------------------------------------------------
+# Pose graph
+# ---------------------------------------------------------------------------
+
+
+class PoseGraphProblem(NamedTuple):
+    Rwb: jax.Array  # (F, 3, 3)
+    twb: jax.Array  # (F, 3)
+    fixed: jax.Array  # (F,) bool
+    edge_i: jax.Array  # (E,) int32
+    edge_j: jax.Array  # (E,)
+    R_meas: jax.Array  # (E, 3, 3) relative T_i^-1 T_j measurement
+    t_meas: jax.Array  # (E, 3)
+    mask: jax.Array  # (E,) bool
+
+
+def _pose_graph_cost(p: PoseGraphProblem):
+    def one(i, j, Rm, tm):
+        r = res.relative_pose_residual(p.Rwb[i], p.twb[i], p.Rwb[j], p.twb[j], Rm, tm)
+        return jnp.sum(r * r)
+
+    costs = jax.vmap(one)(p.edge_i, p.edge_j, p.R_meas, p.t_meas)
+    return jnp.sum(jnp.where(p.mask, costs, 0.0))
+
+
+def pose_graph_optimization(p: PoseGraphProblem, iterations: int = 20) -> PoseGraphProblem:
+    """Dense LM over 6F dims with relative-pose residuals."""
+    f = p.Rwb.shape[0]
+    D = f * 6
+    dtype = p.twb.dtype
+    free = (~p.fixed).astype(dtype)
+
+    def residuals_and_jac(state):
+        Rwb, twb = state
+
+        def one(i, j, Rm, tm):
+            def fe(delta):
+                Ri, ti = res.retract_pose(Rwb[i], twb[i], delta[0:6])
+                Rj, tj = res.retract_pose(Rwb[j], twb[j], delta[6:12])
+                r = res.relative_pose_residual(Ri, ti, Rj, tj, Rm, tm)
+                return r, r
+
+            J, (r, _) = gn._jac_with_value(fe, 12)
+            return r, J
+
+        return jax.vmap(one)(p.edge_i, p.edge_j, p.R_meas, p.t_meas)
+
+    def solve_once(state, lam):
+        Rwb, twb = state
+        r, J = residuals_and_jac(state)  # (E, 6), (E, 6, 12)
+        w = p.mask.astype(dtype)
+        cm_i = free[p.edge_i]
+        cm_j = free[p.edge_j]
+        cm = jnp.concatenate(
+            [jnp.repeat(cm_i[:, None], 6, 1), jnp.repeat(cm_j[:, None], 6, 1)], axis=1
+        )
+        J = J * cm[:, None, :] * w[:, None, None]
+        r = r * w[:, None]
+        Hk = jnp.einsum("eri,erj->eij", J, J)
+        bk = -jnp.einsum("eri,er->ei", J, r)
+
+        cols_i = p.edge_i[:, None] * 6 + jnp.arange(6)[None, :]
+        cols_j = p.edge_j[:, None] * 6 + jnp.arange(6)[None, :]
+        cols = jnp.concatenate([cols_i, cols_j], axis=1)  # (E, 12)
+
+        H = jnp.zeros((D, D), dtype)
+        b = jnp.zeros((D,), dtype)
+
+        def scatter(carry, ecb):
+            Hc, bc = carry
+            Hk_e, bk_e, col = ecb
+            Hc = Hc.at[col[:, None], col[None, :]].add(Hk_e)
+            bc = bc.at[col].add(bk_e)
+            return (Hc, bc), None
+
+        (H, b), _ = jax.lax.scan(scatter, (H, b), (Hk, bk, cols))
+        H = H + jnp.diag(lam * jnp.ones((D,), dtype))
+        diag = jnp.diagonal(H)
+        H = H + jnp.diag(jnp.where(diag < 1e-10, 1.0, 0.0))
+        dx = jnp.linalg.solve(H, b).reshape(f, 6)
+        Rn, tn = jax.vmap(res.retract_pose)(Rwb, twb, dx)
+        return Rn, tn
+
+    def body(carry, _):
+        state, lam, nu, cost = carry
+        cand = solve_once(state, lam)
+        new_cost = _pose_graph_cost(p._replace(Rwb=cand[0], twb=cand[1]))
+        accept = new_cost < cost
+        state2 = jax.tree_util.tree_map(lambda a, b2: jnp.where(accept, a, b2), cand, state)
+        return (
+            state2,
+            jnp.where(accept, lam / 3.0, lam * nu),
+            jnp.where(accept, 2.0, nu * 2.0),
+            jnp.where(accept, new_cost, cost),
+        ), None
+
+    cost0 = _pose_graph_cost(p)
+    (state, _, _, _), _ = jax.lax.scan(
+        body, ((p.Rwb, p.twb), 1e-5, 2.0, cost0), None, length=iterations
+    )
+    return p._replace(Rwb=state[0], twb=state[1])
+
+
+# ---------------------------------------------------------------------------
+# Visual-inertial initialization
+# ---------------------------------------------------------------------------
+
+
+def compute_gyr_bias(Rwb_seq, dR_seq, JRg_seq):
+    """Closed-form gyro bias from rotation alignment least squares
+    (``ComputeGyrBias``, g2o_optimization.cc:1136-1156): for consecutive
+    frames minimize |Log(dRᵀ · Rᵢᵀ Rⱼ) − JRg·bg|²."""
+    def one(Ri, Rj, dR, JRg):
+        e = lie.so3_log(jnp.swapaxes(dR, -1, -2) @ jnp.swapaxes(Ri, -1, -2) @ Rj)
+        return JRg.T @ JRg, JRg.T @ e
+
+    A, bvec = jax.vmap(one)(Rwb_seq[:-1], Rwb_seq[1:], dR_seq, JRg_seq)
+    H = jnp.sum(A, axis=0)
+    g = jnp.sum(bvec, axis=0)
+    return jnp.linalg.solve(H + 1e-12 * jnp.eye(3, dtype=H.dtype), g)
+
+
+def compute_velocity(Rwb_seq, twb_seq, dP_seq, dV_seq, dT_seq, g_value):
+    """Closed-form velocities + gravity from the linear system over
+    preintegrated deltas (``ComputeVelocity``, g2o_optimization.cc:1171-1229).
+
+    Unknowns: per-frame velocity (3F) + gravity vector (3). Equations per
+    interval k: position and velocity preintegration constraints.
+    Returns (velocities (F, 3), gravity (3,) — direction scaled to g_value).
+    """
+    f = Rwb_seq.shape[0]
+    k = f - 1
+    n = 3 * f + 3
+    dtype = twb_seq.dtype
+
+    rows = []
+    rhs = []
+    for i in range(k):
+        Ri = Rwb_seq[i]
+        # position: t_{i+1} = t_i + v_i dT + ½ g dT² + R_i dP
+        A_p = jnp.zeros((3, n), dtype)
+        A_p = A_p.at[:, 3 * i : 3 * i + 3].set(jnp.eye(3, dtype=dtype) * dT_seq[i])
+        A_p = A_p.at[:, 3 * f : 3 * f + 3].set(0.5 * dT_seq[i] ** 2 * jnp.eye(3, dtype=dtype))
+        b_p = twb_seq[i + 1] - twb_seq[i] - Ri @ dP_seq[i]
+        # velocity: v_{i+1} = v_i + g dT + R_i dV
+        A_v = jnp.zeros((3, n), dtype)
+        A_v = A_v.at[:, 3 * i : 3 * i + 3].set(-jnp.eye(3, dtype=dtype))
+        A_v = A_v.at[:, 3 * (i + 1) : 3 * (i + 1) + 3].set(jnp.eye(3, dtype=dtype))
+        A_v = A_v.at[:, 3 * f : 3 * f + 3].set(-dT_seq[i] * jnp.eye(3, dtype=dtype))
+        b_v = Ri @ dV_seq[i]
+        rows.extend([A_p, A_v])
+        rhs.extend([b_p, b_v])
+
+    A = jnp.concatenate(rows, axis=0)
+    bb = jnp.concatenate(rhs, axis=0)
+    x, *_ = jnp.linalg.lstsq(A, bb)
+    vels = x[: 3 * f].reshape(f, 3)
+    gravity = x[3 * f :]
+    return vels, gravity
+
+
+def gravity_to_rwg(gravity, dtype=jnp.float64):
+    """Rotation aligning the world z-down gravity to the estimated gravity
+    direction (the Rwg convention of VertexGDirection / map.cc:1168-1200)."""
+    gI = jnp.asarray([0.0, 0.0, -1.0], dtype)
+    gn_ = gravity / jnp.linalg.norm(gravity)
+    v = jnp.cross(gI, gn_)
+    s = jnp.linalg.norm(v)
+    c = jnp.dot(gI, gn_)
+    vhat = lie.hat(v)
+    R = jnp.eye(3, dtype=dtype) + vhat + vhat @ vhat * ((1 - c) / jnp.maximum(s * s, 1e-12))
+    return jnp.where(s < 1e-8, jnp.eye(3, dtype=dtype), R)

@@ -1,0 +1,128 @@
+"""Point matcher: LightGlue/SuperGlue as one jitted program with fixed-shape
+decode.
+
+Replaces ``PointMatcher`` (src/point_matcher.cc): keypoint normalization
+(point_matcher.cc:39-49, scale 0.5 lightglue / 0.7 superglue), engine
+inference, mutual-argmax decode (exp thresholds 0.1 / 0.2) and optional
+fundamental-matrix RANSAC outlier rejection (point_matcher.cc:105-119).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from airslam_tpu.models.lightglue import LightGlue, normalize_keypoints
+from airslam_tpu.models.superglue import SuperGlue
+from airslam_tpu.ops.match import Matches, mutual_match
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    matcher: int = 0  # 0 lightglue, 1 superglue (vo_euroc.yaml:10)
+    image_width: int = 752
+    image_height: int = 480
+    max_keypoints: int = 512  # static token budget (engine profile ≤1024)
+    dtype: Any = jnp.float32
+
+
+class PointMatcher:
+    def __init__(self, config: MatcherConfig = MatcherConfig(), params=None, seed: int = 0):
+        self.config = config
+        if config.matcher == 0:
+            self.model = LightGlue(dtype=config.dtype)
+            self.threshold = 0.1
+            self.norm_scale = 0.5
+        else:
+            self.model = SuperGlue(dtype=config.dtype)
+            self.threshold = 0.2
+            self.norm_scale = 0.7
+        if params is None:
+            params = self.init_params(seed)
+        self.params = params
+        self._jitted = None
+
+    def init_params(self, seed: int = 0):
+        n = self.config.max_keypoints
+        k = jax.random.PRNGKey(seed)
+        kpts = jnp.zeros((n, 2), jnp.float32)
+        desc = jnp.zeros((n, 256), jnp.float32)
+        mask = jnp.ones((n,), jnp.bool_)
+        if self.config.matcher == 0:
+            return self.model.init(k, kpts, desc, mask, kpts, desc, mask)
+        sc = jnp.zeros((n,), jnp.float32)
+        return self.model.init(k, kpts, sc, desc, mask, kpts, sc, desc, mask)
+
+    def _build(self):
+        cfg = self.config
+        model_apply = self.model.apply
+        thr = self.threshold
+        scale = self.norm_scale
+        is_lg = cfg.matcher == 0
+
+        @jax.jit
+        def run(params, kpts0, scores0, desc0, mask0, kpts1, scores1, desc1, mask1, threshold):
+            nk0 = normalize_keypoints(kpts0, cfg.image_width, cfg.image_height, scale)
+            nk1 = normalize_keypoints(kpts1, cfg.image_width, cfg.image_height, scale)
+            if is_lg:
+                scores, _, _ = model_apply(params, nk0, desc0, mask0, nk1, desc1, mask1)
+            else:
+                scores = model_apply(params, nk0, scores0, desc0, mask0, nk1, scores1, desc1, mask1)
+            return mutual_match(scores, mask0, mask1, threshold)
+
+        return run
+
+    # -- public ------------------------------------------------------------
+
+    def match(
+        self,
+        kpts0, scores0, desc0, mask0,
+        kpts1, scores1, desc1, mask1,
+        threshold: Optional[float] = None,
+    ) -> Matches:
+        """All inputs (N, …) padded to ``max_keypoints``; device arrays or
+        numpy. ``threshold`` overrides the default exp-score gate (runtime
+        value — no recompile). Returns fixed-shape Matches."""
+        if self._jitted is None:
+            self._jitted = self._build()
+        thr = self.threshold if threshold is None else threshold
+        return self._jitted(
+            self.params,
+            jnp.asarray(kpts0, jnp.float32), jnp.asarray(scores0, jnp.float32),
+            jnp.asarray(desc0, jnp.float32), jnp.asarray(mask0),
+            jnp.asarray(kpts1, jnp.float32), jnp.asarray(scores1, jnp.float32),
+            jnp.asarray(desc1, jnp.float32), jnp.asarray(mask1),
+            jnp.asarray(thr, jnp.float32),
+        )
+
+    def matching_points(self, feats0, feats1, outlier_rejection: bool = False,
+                        threshold: Optional[float] = None):
+        """Reference-style convenience (``MatchingPoints``): returns an
+        (M, 2) int array of match index pairs + (M,) scores, with optional
+        fundamental-matrix RANSAC rejection (threshold 20 px, conf 0.99)."""
+        m = self.match(
+            feats0.keypoints, feats0.kp_scores, feats0.kp_desc, feats0.kp_mask,
+            feats1.keypoints, feats1.kp_scores, feats1.kp_desc, feats1.kp_mask,
+            threshold=threshold,
+        )
+        mask = np.asarray(m.mask)
+        i0 = np.nonzero(mask)[0]
+        i1 = np.asarray(m.idx1)[i0]
+        sc = np.asarray(m.score)[i0]
+        if outlier_rejection and len(i0) > 8 and cv2 is not None:
+            p0 = np.asarray(feats0.keypoints)[i0].astype(np.float32)
+            p1 = np.asarray(feats1.keypoints)[i1].astype(np.float32)
+            _, inl = cv2.findFundamentalMat(p0, p1, cv2.FM_RANSAC, 20.0, 0.99)
+            if inl is not None:
+                good = inl.ravel().astype(bool)
+                i0, i1, sc = i0[good], i1[good], sc[good]
+        return np.stack([i0, i1], axis=-1).astype(np.int32), sc

@@ -1,0 +1,176 @@
+"""PLNet: unified keypoint + line-segment CNN (AirSLAM's frontend detector).
+
+Replaces the two TensorRT engines driven by ``src/plnet.cpp`` (stage-0
+backbone ``plnet_s0.onnx``, plnet.cpp:24-196; stage-1 LOI verification head
+``plnet_s1.onnx``, plnet.cpp:196-216) and their host glue.
+
+Contract (matching plnet.cpp:453-462 output tensors):
+- stage 0, from a (B, 512, 512, 1) grayscale image in [0, 1]:
+  * ``scores``        (B, 512, 512)        SuperPoint-style keypoint heatmap
+  * ``descriptors``   (B, 64, 64, 256)     stride-8 descriptor map
+  * ``junc_heat``     (B, 128, 128)        junction heatmap at stride 4
+  * ``junc_offset``   (B, 128, 128, 2)     sub-cell junction offsets
+  * ``line_pred``     (B, 128, 128, 3, 4)  3 line proposals/cell, endpoints in
+                                           128-grid coordinates (→ lines_pred)
+  * ``line_logit``    (B, 128, 128, 3)     proposal confidence
+  * ``loi``           (B, 128, 128, 128)   LOI pooling features
+  * ``loi_thin``      (B, 128, 128, 4)
+  * ``loi_aux``       (B, 128, 128, 4)
+- stage 1 (:class:`LoiHead`): candidate junction-pair lines → verification
+  score + endpoint adjustment (→ ``scores_line`` / ``lines_adjusted``).
+
+TPU-native design notes: the reference computes junction-endpoint matching
+(``iskeep``/``idx_junc_to_end_min/max``) inside the ONNX graph, dedups pairs on
+the host (plnet.cpp:272-307), then runs a second dynamic-shape engine. Here
+the *whole* pipeline — backbone, junction top-k, proposal↔junction matching,
+pair dedup (scatter over a 300×300 key space), LOI sampling and verification —
+is one fixed-shape XLA program (see ``airslam_tpu.ops.wireframe``), so there
+is no host round trip between stages and no dynamic-shape recompile.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from airslam_tpu.models.superpoint import VGGBackbone
+
+# Fixed decode budget (static shapes for XLA).
+NUM_JUNCTIONS = 300  # top-k junctions, = JN in plnet.cpp:284
+NUM_PROPOSALS_PER_CELL = 3  # lines_pred leading dim 128*128*3 (plnet.cpp:469)
+LOI_POINTS = 32  # samples along each candidate line
+LOI_DIM = 128
+
+
+class LineHeadTrunk(nn.Module):
+    """Shared stride-4 line feature trunk: fuse c3 (/4) with upsampled c4 (/8)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, c3, c4):
+        b, h8, w8, _ = c4.shape
+        up = jax.image.resize(c4, (b, h8 * 2, w8 * 2, c4.shape[-1]), "bilinear")
+        x = jnp.concatenate([c3, up], axis=-1)
+        x = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="fuse1")(x))
+        x = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="fuse2")(x))
+        return x
+
+
+class PLNet(nn.Module):
+    """Stage-0: shared backbone + keypoint heads + line heads."""
+
+    dtype: Any = jnp.float32
+    max_offset_cells: float = 64.0  # max endpoint displacement from cell center
+
+    @nn.compact
+    def __call__(self, image):
+        feat, skips = VGGBackbone(dtype=self.dtype, name="backbone")(image)
+
+        # -- SuperPoint heads (identical structure to models/superpoint.py) --
+        cpa = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="convPa")(feat))
+        logits = nn.Conv(65, (1, 1), dtype=self.dtype, name="convPb")(cpa)
+        prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., :64]
+        b, hc, wc, _ = prob.shape
+        scores = prob.reshape(b, hc, wc, 8, 8).transpose(0, 1, 3, 2, 4).reshape(b, hc * 8, wc * 8)
+
+        cda = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="convDa")(feat))
+        desc = nn.Conv(256, (1, 1), dtype=self.dtype, name="convDb")(cda).astype(jnp.float32)
+        desc = desc / jnp.clip(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
+
+        # -- line trunk at stride 4 --------------------------------------
+        trunk = LineHeadTrunk(dtype=self.dtype, name="line_trunk")(skips["c3"], feat)
+        bt, h4, w4, _ = trunk.shape
+
+        junc_heat = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="junc_heat")(trunk)
+        junc_heat = jax.nn.sigmoid(junc_heat.astype(jnp.float32))[..., 0]
+        junc_offset = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype, name="junc_off")(trunk)
+        junc_offset = jax.nn.sigmoid(junc_offset.astype(jnp.float32))  # in [0,1] cell units
+
+        p = NUM_PROPOSALS_PER_CELL
+        line_raw = nn.Conv(p * 4, (3, 3), padding="SAME", dtype=self.dtype, name="line_pred")(trunk)
+        line_raw = jnp.tanh(line_raw.astype(jnp.float32)) * self.max_offset_cells
+        cy = jax.lax.broadcasted_iota(jnp.float32, (h4, w4), 0) + 0.5
+        cx = jax.lax.broadcasted_iota(jnp.float32, (h4, w4), 1) + 0.5
+        center = jnp.stack([cx, cy, cx, cy], axis=-1)  # (h4, w4, 4)
+        line_pred = line_raw.reshape(bt, h4, w4, p, 4) + center[None, :, :, None, :]
+
+        line_logit = nn.Conv(p, (3, 3), padding="SAME", dtype=self.dtype, name="line_logit")(trunk)
+        line_logit = line_logit.astype(jnp.float32)
+
+        loi = nn.Conv(LOI_DIM, (3, 3), padding="SAME", dtype=self.dtype, name="loi")(trunk)
+        loi_thin = nn.Conv(4, (3, 3), padding="SAME", dtype=self.dtype, name="loi_thin")(trunk)
+        loi_aux = nn.Conv(4, (3, 3), padding="SAME", dtype=self.dtype, name="loi_aux")(trunk)
+
+        return {
+            "scores": scores,
+            "descriptors": desc,
+            "junc_heat": junc_heat,
+            "junc_offset": junc_offset,
+            "line_pred": line_pred,
+            "line_logit": line_logit,
+            "loi": loi.astype(jnp.float32),
+            "loi_thin": loi_thin.astype(jnp.float32),
+            "loi_aux": loi_aux.astype(jnp.float32),
+        }
+
+
+class LoiHead(nn.Module):
+    """Stage-1: HAWP-style LOI pooling verification head.
+
+    For each candidate line (a junction pair, in 128-grid coordinates) sample
+    ``LOI_POINTS`` points along the segment from the ``loi``/``loi_thin``/
+    ``loi_aux`` maps, max-pool 4:1 along the line, and regress a verification
+    score (→ scores_line) plus a 4-d endpoint adjustment (→ lines_adjusted,
+    consumed at ×4 upscale by the final decode, plnet.cpp:519-558).
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, lines, loi, loi_thin, loi_aux):
+        """lines: (L, 4) candidate (x1, y1, x2, y2) in 128-grid coords;
+        feature maps: (128, 128, C). Returns (scores (L,), adjusted (L, 4))."""
+        t = jnp.linspace(0.0, 1.0, LOI_POINTS, dtype=jnp.float32)
+        p1 = lines[:, 0:2]
+        p2 = lines[:, 2:4]
+        pts = p1[:, None, :] + t[None, :, None] * (p2 - p1)[:, None, :]  # (L, T, 2)
+
+        def samp(fmap):
+            return _bilinear_lookup(fmap, pts)  # (L, T, C)
+
+        f_main = samp(loi)
+        f_thin = samp(loi_thin)
+        f_aux = samp(loi_aux)
+        feats = jnp.concatenate([f_main, f_thin, f_aux], axis=-1)  # (L, T, 136)
+        l, tt, c = feats.shape
+        pooled = feats.reshape(l, tt // 4, 4, c).max(axis=2)  # (L, T/4, C)
+        flat = pooled.reshape(l, -1).astype(self.dtype)
+
+        x = nn.relu(nn.Dense(1024, dtype=self.dtype, name="fc1")(flat))
+        x = nn.relu(nn.Dense(512, dtype=self.dtype, name="fc2")(x))
+        score = jax.nn.sigmoid(nn.Dense(1, dtype=self.dtype, name="score")(x).astype(jnp.float32))[:, 0]
+        delta = jnp.tanh(nn.Dense(4, dtype=self.dtype, name="delta")(x).astype(jnp.float32)) * 2.0
+        return score, lines + delta
+
+
+def _bilinear_lookup(fmap: jax.Array, pts: jax.Array) -> jax.Array:
+    """Sample (H, W, C) at float (…, 2) (x, y) locations, border-clamped."""
+    h, w, _ = fmap.shape
+    x = jnp.clip(pts[..., 0], 0.0, w - 1.000001)
+    y = jnp.clip(pts[..., 1], 0.0, h - 1.000001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    wx = (x - x0.astype(x.dtype))[..., None]
+    wy = (y - y0.astype(y.dtype))[..., None]
+    flat = fmap.reshape(h * w, -1)
+    v00 = flat[y0 * w + x0]
+    v01 = flat[y0 * w + x1]
+    v10 = flat[y1 * w + x0]
+    v11 = flat[y1 * w + x1]
+    return (v00 * (1 - wx) + v01 * wx) * (1 - wy) + (v10 * (1 - wx) + v11 * wx) * wy

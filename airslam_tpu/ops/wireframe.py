@@ -1,0 +1,185 @@
+"""Fixed-shape wireframe decode: junction selection, proposal↔junction
+matching, pair dedup, and final line/junction gating.
+
+Replaces the host-side ``PLNet::wireframe_matcher`` (src/plnet.cpp:272-307),
+the stage-1 candidate feed (plnet.cpp:468-514) and the final decode
+(plnet.cpp:519-585), reformulated with static shapes so everything fuses into
+one XLA program:
+
+- variable-length "collect kept proposals" → boolean masks over all P=3·128·128
+  proposals;
+- the 300×300 ``unique_map`` dedup → scatter-min of first-occurrence proposal
+  order into a 90000-slot key array + top-k;
+- the ``junction_map`` pixel grid → scatter-max of endpoint validity into the
+  512² heatmap plane + top-k.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from airslam_tpu.ops.detect import simple_nms
+
+
+class Junctions(NamedTuple):
+    xy: jax.Array  # (J, 2) in stride-4 grid coordinates
+    score: jax.Array  # (J,)
+    mask: jax.Array  # (J,)
+
+
+class LineCandidates(NamedTuple):
+    pairs: jax.Array  # (L, 2) int32 junction indices (max_idx, min_idx)
+    lines: jax.Array  # (L, 4) endpoint coords in stride-4 grid
+    mask: jax.Array  # (L,)
+
+
+def decode_junctions(junc_heat: jax.Array, junc_offset: jax.Array, k: int) -> Junctions:
+    """Top-k junctions from the stride-4 heatmap with sub-cell offsets
+    (produces the ``juncs_pred`` (300, 2) tensor of plnet.cpp:468)."""
+    h, w = junc_heat.shape
+    nmsed = simple_nms(junc_heat, 1)
+    score, idx = jax.lax.top_k(nmsed.reshape(-1), k)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    off = junc_offset.reshape(h * w, 2)[idx]
+    xy = jnp.stack([xs, ys], axis=-1) + off
+    return Junctions(xy=xy, score=score, mask=score > 0)
+
+
+def match_proposals(
+    line_pred: jax.Array,  # (P, 4) proposal endpoints, stride-4 coords
+    line_logit: jax.Array,  # (P,)
+    juncs: Junctions,
+    match_threshold: float = 5.0,
+):
+    """Attach each proposal endpoint to its nearest junction.
+
+    Returns (keep (P,), jmin (P,), jmax (P,)) — the ``iskeep`` /
+    ``idx_junc_to_end_min`` / ``idx_junc_to_end_max`` tensors of
+    plnet.cpp:453-458, computed as two (P, J) distance argmins (a pair of
+    MXU-friendly dense matmuls via the |a-b|² expansion).
+    """
+    jxy = jnp.where(juncs.mask[:, None], juncs.xy, jnp.full_like(juncs.xy, 1e6))
+
+    def nearest(pts):  # pts (P, 2)
+        d2 = (
+            jnp.sum(pts * pts, axis=1, keepdims=True)
+            - 2.0 * pts @ jxy.T
+            + jnp.sum(jxy * jxy, axis=1)[None, :]
+        )
+        j = jnp.argmin(d2, axis=1)
+        return j.astype(jnp.int32), jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+
+    j1, d1 = nearest(line_pred[:, 0:2])
+    j2, d2 = nearest(line_pred[:, 2:4])
+    thr2 = match_threshold * match_threshold
+    keep = (d1 < thr2) & (d2 < thr2) & (j1 != j2) & (line_logit > 0)
+    jmin = jnp.minimum(j1, j2)
+    jmax = jnp.maximum(j1, j2)
+    return keep, jmin, jmax
+
+
+def dedup_pairs(
+    keep: jax.Array, jmin: jax.Array, jmax: jax.Array, juncs: Junctions,
+    num_junctions: int, max_lines: int,
+) -> LineCandidates:
+    """Unique (jmin, jmax) pairs in first-occurrence order, capped at
+    ``max_lines`` — the TPU version of the ``unique_map`` walk
+    (plnet.cpp:283-305). Candidate endpoints are the junction coordinates,
+    ordered (jmax, jmin) like ``idx_lines_for_junctions_unique_``."""
+    p = keep.shape[0]
+    key = jmin * num_junctions + jmax  # (P,)
+    order = jnp.arange(p, dtype=jnp.int32)
+    slot = jnp.full((num_junctions * num_junctions,), p, dtype=jnp.int32)
+    slot = slot.at[key].min(jnp.where(keep, order, p))
+    # top-max_lines smallest first-occurrence orders = the reference's
+    # unique-id ordering truncated to a static budget.
+    neg_order, uniq_key = jax.lax.top_k(-slot, max_lines)
+    valid = -neg_order < p
+    pair_min = (uniq_key // num_junctions).astype(jnp.int32)
+    pair_max = (uniq_key % num_junctions).astype(jnp.int32)
+    p1 = juncs.xy[pair_max]
+    p2 = juncs.xy[pair_min]
+    return LineCandidates(
+        pairs=jnp.stack([pair_max, pair_min], axis=-1),
+        lines=jnp.concatenate([p1, p2], axis=-1),
+        mask=valid,
+    )
+
+
+class DecodedLines(NamedTuple):
+    lines: jax.Array  # (L, 4) in 512-space pixels
+    score: jax.Array  # (L,)
+    mask: jax.Array  # (L,) — passed line_threshold + min length
+    junction_xy: jax.Array  # (L, 4) int endpoints marked in the junction map
+    junction_valid: jax.Array  # (L, 2) per-endpoint in-border validity
+
+
+def gate_lines(
+    lines_adjusted: jax.Array,  # (L, 4) stride-4 coords from the LOI head
+    scores_line: jax.Array,  # (L,)
+    cand_mask: jax.Array,  # (L,)
+    image_hw: tuple,
+    border: int,
+    line_threshold: float,
+    length_threshold: float,
+) -> DecodedLines:
+    """Final gating — plnet.cpp:519-558: ×4 upscale, junction-map marking at
+    score ≥ 0.5, kept lines need score ≥ line_threshold and length ≥
+    length_threshold px."""
+    h, w = image_hw
+    xy = lines_adjusted * 4.0
+    xi = (xy + 0.1).astype(jnp.int32)
+    p1_ok = (
+        (xi[:, 0] > border) & (xi[:, 0] < w - border)
+        & (xi[:, 1] > border) & (xi[:, 1] < h - border)
+    )
+    p2_ok = (
+        (xi[:, 2] > border) & (xi[:, 2] < w - border)
+        & (xi[:, 3] > border) & (xi[:, 3] < h - border)
+    )
+    junction_line = cand_mask & (scores_line >= 0.5)
+    dx = xy[:, 2] - xy[:, 0]
+    dy = xy[:, 3] - xy[:, 1]
+    length2 = dx * dx + dy * dy
+    keep = (
+        junction_line
+        & (scores_line >= line_threshold)
+        & (length2 >= length_threshold * length_threshold)
+    )
+    return DecodedLines(
+        lines=xy,
+        score=jnp.where(cand_mask, scores_line, jnp.zeros_like(scores_line)),
+        mask=keep,
+        junction_xy=jnp.where(junction_line[:, None], xi, -jnp.ones_like(xi)),
+        junction_valid=jnp.stack([p1_ok & junction_line, p2_ok & junction_line], axis=-1),
+    )
+
+
+def collect_junction_keypoints(
+    decoded: DecodedLines,
+    heat: jax.Array,  # (H, W) keypoint heatmap
+    max_junctions: int,
+):
+    """Deduplicate accepted line endpoints into junction keypoints with the
+    heatmap score attached (``junction_detector``, plnet.cpp:425-448).
+
+    Scatter endpoint validity into the (H·W,) plane then take top-k by the
+    heatmap score — same content as the reference's row-major walk of
+    ``junction_map`` (output order differs; downstream use is order-free).
+    """
+    h, w = heat.shape
+    exy = decoded.junction_xy.reshape(-1, 2)  # (2L, 2) int
+    evalid = decoded.junction_valid.reshape(-1)
+    flat_idx = jnp.clip(exy[:, 1], 0, h - 1) * w + jnp.clip(exy[:, 0], 0, w - 1)
+    marked = jnp.zeros((h * w,), jnp.bool_).at[flat_idx].max(evalid)
+    junc_scores = jnp.where(marked, heat.reshape(-1), jnp.full((h * w,), -1.0, heat.dtype))
+    score, idx = jax.lax.top_k(junc_scores, max_junctions)
+    xs = (idx % w).astype(jnp.float32)
+    ys = (idx // w).astype(jnp.float32)
+    mask = score > -1.0
+    score = jnp.where(mask, score, jnp.zeros_like(score))
+    return Junctions(xy=jnp.stack([xs, ys], axis=-1), score=score, mask=mask)

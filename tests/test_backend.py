@@ -1,0 +1,233 @@
+"""Backend tests: residual correctness vs numpy oracles and LM convergence on
+synthetic scenes (the role g2o's convergence plays in the reference)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from airslam_tpu.backend import gn, windows
+from airslam_tpu.backend import residuals as res
+from airslam_tpu.core import lie
+from tests.synthetic import make_point_scene, build_problem, default_intrinsics
+
+
+def test_point_residual_zero_at_truth():
+    scene = make_point_scene(f=2, p=10)
+    prob = build_problem(scene)
+    chi2, depth_ok = gn.point_chi2(prob, scene["intr"])
+    chi2 = np.asarray(chi2)[np.asarray(prob.point_obs_mask)]
+    assert chi2.max() < 1e-16
+    assert np.asarray(depth_ok)[np.asarray(prob.point_obs_mask)].all()
+
+
+def test_point_residual_matches_manual():
+    """Residual = obs − (π(p), u_r) with the reference's stereo model."""
+    intr = default_intrinsics()
+    Rcw = np.eye(3)
+    tcw = np.array([0.1, -0.2, 0.3])
+    point = np.array([1.0, 0.5, 5.0])
+    pc = Rcw @ point + tcw
+    u = pc[0] / pc[2] * 450 + 376
+    v = pc[1] / pc[2] * 450 + 240
+    ur = u - 45.0 / pc[2]
+    obs = np.array([u + 1.0, v - 2.0, ur + 0.5])
+    r, z = res.point_residual(jnp.asarray(Rcw), jnp.asarray(tcw), jnp.asarray(point),
+                              jnp.asarray(obs), intr)
+    assert np.allclose(np.asarray(r), [1.0, -2.0, 0.5], atol=1e-10)
+    assert float(z) == pytest.approx(pc[2])
+
+
+def test_line_residual_zero_on_line():
+    """Project a 3D line; its observed 2D endpoints must give zero residual."""
+    intr = default_intrinsics()
+    p1 = np.array([1.0, 0.5, 5.0])
+    p2 = np.array([-1.0, 0.3, 6.0])
+    line = lie.line_from_endpoints(jnp.asarray(p1), jnp.asarray(p2))
+
+    def proj(p):
+        return np.array([p[0] / p[2] * 450 + 376, p[1] / p[2] * 450 + 240])
+
+    def proj_right(p):
+        b = 45.0 / 450.0
+        q = p - np.array([b, 0, 0])
+        return proj(q)
+
+    obs = np.concatenate([proj(p1), proj(p2), proj_right(p1), proj_right(p2)])
+    r = res.line_residual(jnp.eye(3), jnp.zeros(3), line, jnp.asarray(obs), intr)
+    assert np.abs(np.asarray(r)).max() < 1e-9
+
+
+def test_line_residual_is_pixel_distance():
+    """For a vertical 3D line, the mono residual equals the horizontal pixel
+    offset of the observed endpoint."""
+    intr = default_intrinsics()
+    p1 = np.array([0.5, -1.0, 5.0])
+    p2 = np.array([0.5, 1.0, 5.0])
+    line = lie.line_from_endpoints(jnp.asarray(p1), jnp.asarray(p2))
+    u_line = 0.5 / 5.0 * 450 + 376
+    obs = np.array([u_line + 3.0, 100.0, u_line - 2.0, 300.0, 0, 0, 0, 0])
+    r = np.asarray(res.line_residual(jnp.eye(3), jnp.zeros(3), line, jnp.asarray(obs), intr))
+    assert abs(abs(r[0]) - 3.0) < 1e-6
+    assert abs(abs(r[1]) - 2.0) < 1e-6
+
+
+def test_relative_pose_residual():
+    rng = np.random.RandomState(0)
+    from scipy.spatial.transform import Rotation
+    R1 = Rotation.random(random_state=rng).as_matrix()
+    t1 = rng.randn(3)
+    R2 = Rotation.random(random_state=rng).as_matrix()
+    t2 = rng.randn(3)
+    R12 = R1.T @ R2
+    t12 = R1.T @ (t2 - t1)
+    r = res.relative_pose_residual(jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(R2),
+                                   jnp.asarray(t2), jnp.asarray(R12), jnp.asarray(t12))
+    assert np.abs(np.asarray(r)).max() < 1e-12
+
+
+# -- LM convergence ---------------------------------------------------------
+
+
+def test_local_ba_converges_poses_and_points():
+    rng = np.random.RandomState(1)
+    scene = make_point_scene(f=4, p=60, rng=rng)
+    # perturb everything except frame 0
+    Rwb0 = scene["Rwb"].copy()
+    twb0 = scene["twb"].copy()
+    for i in range(1, 4):
+        from scipy.spatial.transform import Rotation
+        Rwb0[i] = Rwb0[i] @ Rotation.from_rotvec(rng.randn(3) * 0.02).as_matrix()
+        twb0[i] = twb0[i] + rng.randn(3) * 0.05
+    pts0 = scene["points"] + rng.randn(*scene["points"].shape) * 0.1
+
+    prob = build_problem(scene, Rwb=Rwb0, twb=twb0, points=pts0)
+    out, p_in, _ = windows.local_ba(prob, scene["intr"])
+
+    # all observations should be inliers and the solution near ground truth
+    assert np.asarray(p_in).sum() == np.asarray(prob.point_obs_mask).sum()
+    assert np.abs(np.asarray(out.frames.twb) - scene["twb"]).max() < 1e-3
+    for i in range(4):
+        dR = np.asarray(out.frames.Rwb[i]).T @ scene["Rwb"][i]
+        assert np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)) < 1e-3
+    assert np.abs(np.asarray(out.points) - scene["points"]).max() < 5e-3
+
+
+def test_local_ba_rejects_outliers():
+    rng = np.random.RandomState(2)
+    scene = make_point_scene(f=3, p=50, rng=rng)
+    obs = scene["obs"].copy()
+    # corrupt 5 observations of frame 1 badly
+    bad = rng.choice(50, 5, replace=False)
+    obs[bad, 1, 0] += 80.0
+    scene = dict(scene, obs=obs)
+    prob = build_problem(scene)
+    out, p_in, _ = windows.local_ba(prob, scene["intr"])
+    p_in = np.asarray(p_in)
+    mask = np.asarray(prob.point_obs_mask)
+    for b in bad:
+        if mask[b, 1]:
+            assert not p_in[b, 1]
+    # the good observations survive
+    good = np.ones(50, bool)
+    good[bad] = False
+    assert p_in[good].sum() == mask[good].sum()
+
+
+def test_pose_only_optimization():
+    rng = np.random.RandomState(3)
+    scene = make_point_scene(f=1, p=40, rng=rng)
+    from scipy.spatial.transform import Rotation
+    Rp = scene["Rwb"].copy()
+    tp = scene["twb"].copy()
+    Rp[0] = Rp[0] @ Rotation.from_rotvec(rng.randn(3) * 0.03).as_matrix()
+    tp[0] = tp[0] + rng.randn(3) * 0.1
+    prob = build_problem(scene, Rwb=Rp, twb=tp, pose_fixed=np.zeros(1, bool))
+    out, p_in, _, n_in = windows.pose_only_optimization(prob, scene["intr"])
+    assert int(n_in) == np.asarray(prob.point_obs_mask).sum()
+    assert np.abs(np.asarray(out.frames.twb[0]) - scene["twb"][0]).max() < 1e-4
+    # landmarks must not have moved
+    assert np.array_equal(np.asarray(out.points), np.asarray(prob.points))
+
+
+def test_local_ba_with_lines():
+    """Lines + points jointly: line residuals drive the line estimate back."""
+    rng = np.random.RandomState(4)
+    scene = make_point_scene(f=3, p=50, rng=rng)
+    intr = scene["intr"]
+
+    # one 3D line and its projections
+    p1 = np.array([0.5, -1.0, 6.0])
+    p2 = np.array([1.5, 1.0, 6.5])
+    line_true = np.asarray(lie.line_from_endpoints(jnp.asarray(p1), jnp.asarray(p2)))
+
+    f = 3
+    line_obs = np.zeros((1, f, 8))
+    line_mask = np.zeros((1, f), bool)
+    stereo = np.zeros((1, f), bool)
+    fx, fy, cx, cy, bf = 450.0, 450.0, 376.0, 240.0, 45.0
+    for i in range(f):
+        Rcw = scene["Rcb"] @ scene["Rwb"][i].T
+        tcw = scene["tcb"] - Rcw @ scene["twb"][i]
+        for k, pt in enumerate([p1, p2]):
+            pc = Rcw @ pt + tcw
+            line_obs[0, i, 2 * k] = pc[0] / pc[2] * fx + cx
+            line_obs[0, i, 2 * k + 1] = pc[1] / pc[2] * fy + cy
+            qc = pc - np.array([bf / fx, 0, 0])
+            line_obs[0, i, 4 + 2 * k] = qc[0] / qc[2] * fx + cx
+            line_obs[0, i, 4 + 2 * k + 1] = qc[1] / qc[2] * fy + cy
+        line_mask[0, i] = True
+        stereo[0, i] = True
+
+    # perturb the line
+    line0 = np.asarray(
+        lie.line_orthonormal_oplus(jnp.asarray(line_true), jnp.asarray([0.02, -0.03, 0.01, 0.02]))
+    )
+    prob = build_problem(
+        scene, lines=line0[None], line_obs=line_obs, line_obs_mask=line_mask,
+        line_obs_stereo=stereo, line_fixed=np.zeros(1, bool),
+    )
+    out, _, l_in = windows.local_ba(prob, intr)
+    assert np.asarray(l_in).all()
+    chi2 = np.asarray(gn.line_chi2(out, intr, 1.0))
+    assert chi2.max() < 1e-6  # line re-converged onto the observations
+
+
+def test_pose_graph_optimization():
+    """Odometry chain with drift + loop closure edge pulls poses back."""
+    rng = np.random.RandomState(5)
+    from scipy.spatial.transform import Rotation
+    f = 6
+    # ground truth: hexagon loop
+    Rwb = np.zeros((f, 3, 3))
+    twb = np.zeros((f, 3))
+    for i in range(f):
+        a = 2 * np.pi * i / f
+        Rwb[i] = Rotation.from_euler("z", a).as_matrix()
+        twb[i] = [np.cos(a), np.sin(a), 0]
+
+    # measurements: true relative poses (odometry + loop edge)
+    ei, ej, Rm, tm = [], [], [], []
+    for i in range(f - 1):
+        ei.append(i); ej.append(i + 1)
+        Rm.append(Rwb[i].T @ Rwb[i + 1])
+        tm.append(Rwb[i].T @ (twb[i + 1] - twb[i]))
+    ei.append(f - 1); ej.append(0)
+    Rm.append(Rwb[f - 1].T @ Rwb[0])
+    tm.append(Rwb[f - 1].T @ (twb[0] - twb[f - 1]))
+
+    # drifting initial guess
+    Rp, tp = Rwb.copy(), twb.copy()
+    for i in range(1, f):
+        Rp[i] = Rp[i] @ Rotation.from_rotvec(rng.randn(3) * 0.05).as_matrix()
+        tp[i] = tp[i] + rng.randn(3) * 0.1
+
+    fixed = np.zeros(f, bool); fixed[0] = True
+    p = windows.PoseGraphProblem(
+        Rwb=jnp.asarray(Rp), twb=jnp.asarray(tp), fixed=jnp.asarray(fixed),
+        edge_i=jnp.asarray(ei, jnp.int32), edge_j=jnp.asarray(ej, jnp.int32),
+        R_meas=jnp.asarray(np.stack(Rm)), t_meas=jnp.asarray(np.stack(tm)),
+        mask=jnp.ones(len(ei), bool),
+    )
+    out = windows.pose_graph_optimization(p, iterations=30)
+    assert np.abs(np.asarray(out.twb) - twb).max() < 1e-5
