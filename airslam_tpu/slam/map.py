@@ -1,0 +1,543 @@
+"""Map: keyframe/landmark registries and optimization orchestration.
+
+Replaces ``src/map.cc`` (1484 LoC). Responsibilities kept 1:1 with the
+reference: keyframe insertion creates/extends landmarks and triangulates
+(map.cc:30-120), sliding-window local BA over the last 5 keyframes plus their
+fixed observers (map.cc:556-849), landmark lifecycle and outlier write-back
+(map.cc:859-943), mapline endpoint maintenance (map.cc:192-340), covisibility
+graph (map.cc:1385-1425), TUM trajectory export (map.cc:1000-1008), and IMU
+initialization orchestration (map.cc:1046-1209).
+
+TPU-native difference: the window optimization is built as a dense
+(landmark × frame) ``BAProblem`` padded to shape buckets, so the whole LM loop
+(including chi² gating) is a handful of compiled XLA programs reused across
+keyframes instead of a per-keyframe sparse graph build.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from airslam_tpu.backend import gn, triangulate, windows
+from airslam_tpu.core import lie
+from airslam_tpu.slam.frame import Frame
+from airslam_tpu.slam.landmarks import LandmarkType, Mapline, Mappoint
+
+WINDOW_SIZE = 5  # map.cc:576 MaxFrameNumber
+MAX_FIXED_FRAMES = 10  # static cap on fixed observer frames (ref: unbounded)
+
+
+def _bucket(n: int, step: int = 64) -> int:
+    return max(step, ((n + step - 1) // step) * step)
+
+
+class Map:
+    def __init__(self, camera, ba_config: Optional[gn.BAConfig] = None):
+        self.camera = camera
+        self.keyframes: Dict[int, Frame] = {}
+        self.keyframe_ids: List[int] = []
+        self.mappoints: Dict[int, Mappoint] = {}
+        self.maplines: Dict[int, Mapline] = {}
+        self.covisibility: Dict[int, Dict[int, int]] = {}
+        self.ba_config = ba_config or gn.BAConfig()
+        self.imu_initialized = False
+        self.Rwg = np.eye(3)
+        self._imu_init_frame: Optional[Frame] = None
+        self.on_local_ba = None  # optional callback(frame) for observability
+
+        gn.set_gravity(getattr(camera, "g_value", 9.81))
+        self._intr = camera.intrinsics(jnp.float64) if hasattr(camera, "intrinsics") else camera
+
+    # ------------------------------------------------------------------
+    # keyframe insertion (map.cc:30-120)
+    # ------------------------------------------------------------------
+
+    def insert_keyframe(self, frame: Frame):
+        fid = frame.frame_id
+        self.keyframes[fid] = frame
+        self.keyframe_ids.append(fid)
+
+        Rwc = frame.Twc[:3, :3]
+        twc = frame.Twc[:3, 3]
+
+        # points
+        for i in np.nonzero(frame.kp_mask)[0]:
+            tid = int(frame.track_ids[i])
+            if tid < 0:
+                continue
+            mpt = self.mappoints.get(tid)
+            if mpt is None:
+                mpt = Mappoint(tid, descriptor=frame.kp_desc[i].copy())
+                pf = frame.back_project(i, self.camera)
+                if pf is not None:
+                    mpt.set_position(Rwc @ pf + twc)
+                self.mappoints[tid] = mpt
+            frame.mappoint_ids[i] = tid
+            mpt.add_observer(fid, int(i))
+            if mpt.type == LandmarkType.UNTRIANGULATED and len(mpt.observers) > 2:
+                self.triangulate_mappoint(mpt)
+
+        # lines
+        for i in np.nonzero(frame.line_mask)[0]:
+            ltid = int(frame.line_track_ids[i])
+            if ltid < 0:
+                continue
+            mpl = self.maplines.get(ltid)
+            if mpl is None:
+                mpl = Mapline(ltid)
+                if frame.lines_right_valid[i]:
+                    ends = self._triangulate_stereo_line(frame, int(i))
+                    if ends is not None:
+                        mpl.set_endpoints(ends)
+                        mpl.endpoint_status[fid] = 1
+                self.maplines[ltid] = mpl
+            frame.mapline_ids[i] = ltid
+            mpl.add_observer(fid, int(i))
+            mpl.endpoint_status.setdefault(fid, 0)
+            if mpl.type == LandmarkType.UNTRIANGULATED and len(mpl.observers) >= 2:
+                self.triangulate_mapline_by_mappoints(mpl)
+
+        self._update_covisibility(frame)
+
+        if len(self.keyframes) < 2:
+            self._imu_init_frame = frame
+        else:
+            self.local_map_optimization(frame)
+            if not self.imu_initialized and getattr(self.camera, "use_imu", False):
+                self.initialize_imu(frame)
+
+    # ------------------------------------------------------------------
+    # triangulation
+    # ------------------------------------------------------------------
+
+    def triangulate_mappoint(self, mpt: Mappoint):
+        obs = [(fid, idx) for fid, idx in mpt.observers.items() if fid in self.keyframes]
+        if len(obs) < 2:
+            return False
+        Rcw = np.zeros((len(obs), 3, 3))
+        tcw = np.zeros((len(obs), 3))
+        uv = np.zeros((len(obs), 2))
+        for k, (fid, idx) in enumerate(obs):
+            kf = self.keyframes[fid]
+            Rwc = kf.Twc[:3, :3]
+            Rcw[k] = Rwc.T
+            tcw[k] = -Rwc.T @ kf.Twc[:3, 3]
+            uv[k] = kf.keypoints[idx]
+        x, ok = triangulate.triangulate_point(
+            jnp.asarray(Rcw), jnp.asarray(tcw), jnp.asarray(uv),
+            jnp.ones(len(obs), bool), self._intr,
+        )
+        if bool(ok):
+            mpt.set_position(np.asarray(x))
+            return True
+        return False
+
+    def _triangulate_stereo_line(self, frame: Frame, idx: int):
+        from airslam_tpu.frontend.lines import triangulate_stereo_lines
+
+        ends, ok = triangulate_stereo_lines(
+            jnp.asarray(frame.lines[idx][None]),
+            jnp.asarray(frame.lines_right[idx][None]),
+            jnp.ones(1, bool),
+            jnp.asarray(frame.Twc[:3, :3]), jnp.asarray(frame.Twc[:3, 3]),
+            self._intr, self.camera.min_x_diff, self.camera.max_x_diff,
+        )
+        return np.asarray(ends[0]) if bool(ok[0]) else None
+
+    def triangulate_mapline_by_mappoints(self, mpl: Mapline):
+        """Robust 3D line from the mappoints lying on the observed 2D lines
+        (map.cc:416-504)."""
+        pts = []
+        for fid, lidx in mpl.observers.items():
+            kf = self.keyframes.get(fid)
+            if kf is None:
+                continue
+            for pidx in np.nonzero(kf.points_on_lines[lidx])[0]:
+                tid = int(kf.track_ids[pidx])
+                mpt = self.mappoints.get(tid)
+                if mpt is not None and mpt.is_valid:
+                    pts.append(mpt.position)
+        if len(pts) < 2:
+            return False
+        pts = np.asarray(pts)
+        pad = _bucket(len(pts), 16)
+        buf = np.zeros((pad, 3))
+        buf[: len(pts)] = pts
+        mask = np.arange(pad) < len(pts)
+        cart, inliers, ok = triangulate.fit_line_huber(jnp.asarray(buf), jnp.asarray(mask))
+        if not bool(ok):
+            return False
+        ends = triangulate.extreme_projections(cart, jnp.asarray(buf), inliers)
+        mpl.set_endpoints(np.asarray(ends))
+        return True
+
+    def update_mapline_endpoints(self, mpl: Mapline):
+        """Refresh endpoints after BA moved the infinite line
+        (map.cc:192-340): project each observation's 2D endpoints onto the
+        3D line and keep the extreme pair."""
+        from airslam_tpu.frontend.lines import endpoint_trim
+
+        if mpl.type != LandmarkType.GOOD:
+            return
+        all_pts = []
+        for fid, lidx in mpl.observers.items():
+            kf = self.keyframes.get(fid)
+            if kf is None:
+                continue
+            Rwc = kf.Twc[:3, :3]
+            Rcw = Rwc.T
+            tcw = -Rcw @ kf.Twc[:3, 3]
+            ends = np.asarray(
+                endpoint_trim(
+                    jnp.asarray(mpl.line3d), jnp.asarray(kf.lines[lidx]),
+                    jnp.asarray(Rcw), jnp.asarray(tcw), self._intr,
+                )
+            )
+            all_pts += [ends[0:3], ends[3:6]]
+        if not all_pts:
+            return
+        pts = np.asarray(all_pts)
+        cart = np.asarray(lie.line_to_cartesian(jnp.asarray(mpl.line3d)))
+        p0, d = cart[0:3], cart[3:6]
+        t = (pts - p0) @ d
+        mpl.endpoints = np.concatenate([p0 + t.min() * d, p0 + t.max() * d])
+        mpl.endpoints_valid = True
+        mpl.to_update_endpoints = False
+
+    # ------------------------------------------------------------------
+    # local BA (map.cc:556-849)
+    # ------------------------------------------------------------------
+
+    def _window_frames(self, new_frame: Frame):
+        frames = [new_frame]
+        f = new_frame
+        while len(frames) < min(WINDOW_SIZE, len(self.keyframes)):
+            f = f.previous_frame
+            if f is None:
+                break
+            frames.append(f)
+        return frames
+
+    def local_map_optimization(self, new_frame: Frame):
+        window = self._window_frames(new_frame)
+        window_ids = {f.frame_id for f in window}
+        first_kf_id = self.keyframe_ids[0]
+
+        # landmarks observed by the window
+        mpts: List[Mappoint] = []
+        mpls: List[Mapline] = []
+        fixed_votes: Dict[int, int] = {}
+        seen_p, seen_l = set(), set()
+        for f in window:
+            for tid in f.mappoint_ids[f.mappoint_ids >= 0]:
+                mpt = self.mappoints.get(int(tid))
+                if mpt is None or not mpt.is_valid or int(tid) in seen_p:
+                    continue
+                seen_p.add(int(tid))
+                mpts.append(mpt)
+                for ofid in mpt.observers:
+                    if ofid not in window_ids and ofid in self.keyframes:
+                        fixed_votes[ofid] = fixed_votes.get(ofid, 0) + 1
+            for ltid in f.mapline_ids[f.mapline_ids >= 0]:
+                mpl = self.maplines.get(int(ltid))
+                if mpl is None or not mpl.is_valid or int(ltid) in seen_l:
+                    continue
+                seen_l.add(int(ltid))
+                mpls.append(mpl)
+                for ofid in mpl.observers:
+                    if ofid not in window_ids and ofid in self.keyframes:
+                        fixed_votes[ofid] = fixed_votes.get(ofid, 0) + 1
+
+        fixed_ids = [fid for fid, _ in sorted(fixed_votes.items(), key=lambda kv: -kv[1])]
+        fixed_ids = fixed_ids[:MAX_FIXED_FRAMES]
+        all_frames = window + [self.keyframes[fid] for fid in fixed_ids]
+        frame_index = {f.frame_id: k for k, f in enumerate(all_frames)}
+
+        pose_fixed = np.zeros(len(all_frames), bool)
+        for k, f in enumerate(all_frames):
+            # oldest window frame + first keyframe + observers are fixed
+            if k >= len(window) or f.frame_id == first_kf_id or k == len(window) - 1:
+                pose_fixed[k] = True
+
+        problem, layout = self._build_problem(all_frames, pose_fixed, mpts, mpls)
+        if problem is None:
+            return
+        out, p_in, l_in = windows.local_ba(problem, self._intr, self.ba_config)
+        self._write_back(out, p_in, l_in, all_frames, pose_fixed, mpts, mpls, layout)
+        if self.on_local_ba is not None:
+            self.on_local_ba(new_frame)
+
+    def _build_problem(self, frames, pose_fixed, mpts, mpls, all_free_points=False):
+        f = len(frames)
+        p_real, l_real = len(mpts), len(mpls)
+        if p_real == 0 and l_real == 0:
+            return None, None
+        P = _bucket(max(p_real, 1))
+        L = _bucket(max(l_real, 1), 32)
+        frame_index = {fr.frame_id: k for k, fr in enumerate(frames)}
+
+        point_obs = np.zeros((P, f, 3))
+        point_obs[..., 2] = -1.0
+        point_mask = np.zeros((P, f), bool)
+        points = np.zeros((P, 3))
+        for j, mpt in enumerate(mpts):
+            points[j] = mpt.position
+            for fid, idx in mpt.observers.items():
+                k = frame_index.get(fid)
+                if k is None:
+                    continue
+                kf = self.keyframes.get(fid) or frames[k]
+                point_obs[j, k] = kf.keypoint_position(idx)
+                point_mask[j, k] = True
+
+        line_obs = np.zeros((L, f, 8))
+        line_mask = np.zeros((L, f), bool)
+        line_stereo = np.zeros((L, f), bool)
+        lines = np.tile(np.array([1.0, 0, 0, 0, 1.0, 0]), (L, 1))
+        for j, mpl in enumerate(mpls):
+            lines[j] = mpl.line3d
+            for fid, idx in mpl.observers.items():
+                k = frame_index.get(fid)
+                if k is None:
+                    continue
+                kf = self.keyframes.get(fid) or frames[k]
+                line_obs[j, k, 0:4] = kf.lines[idx]
+                if kf.lines_right_valid[idx]:
+                    line_obs[j, k, 4:8] = kf.lines_right[idx]
+                    line_stereo[j, k] = True
+                line_mask[j, k] = True
+
+        Tcb = self.camera.Tcb if hasattr(self.camera, "Tcb") else np.eye(4)
+        Rwb = np.zeros((f, 3, 3))
+        twb = np.zeros((f, 3))
+        vel = np.zeros((f, 3))
+        bg = np.zeros((f, 3))
+        ba = np.zeros((f, 3))
+        Tbc = np.linalg.inv(Tcb)
+        for k, fr in enumerate(frames):
+            Twb = fr.Twc @ Tcb  # Twb = Twc · Tcb
+            Rwb[k] = Twb[:3, :3]
+            twb[k] = Twb[:3, 3]
+            vel[k] = fr.velocity
+            bg[k] = fr.bg
+            ba[k] = fr.ba
+
+        # line pixel_sigma: 0.1 if >3 observers else 0.001 (map.cc:724) — we
+        # use the config's line_sigma as the base and scale per landmark via
+        # the mask trick later; for now single sigma from config.
+        fstates = gn.FrameStates(
+            Rwb=jnp.asarray(Rwb), twb=jnp.asarray(twb), vel=jnp.asarray(vel),
+            bg=jnp.asarray(bg), ba=jnp.asarray(ba),
+        )
+        point_fixed = np.zeros(P, bool)
+        point_fixed[p_real:] = True
+        line_fixed = np.zeros(L, bool)
+        line_fixed[l_real:] = True
+
+        problem = gn.BAProblem(
+            frames=fstates,
+            pose_fixed=jnp.asarray(pose_fixed),
+            vel_fixed=jnp.ones(f, bool) if not self.imu_initialized else jnp.asarray(pose_fixed),
+            points=jnp.asarray(points),
+            point_fixed=jnp.asarray(point_fixed),
+            point_obs=jnp.asarray(point_obs),
+            point_obs_mask=jnp.asarray(point_mask),
+            lines=jnp.asarray(lines),
+            line_fixed=jnp.asarray(line_fixed),
+            line_obs=jnp.asarray(line_obs),
+            line_obs_stereo=jnp.asarray(line_stereo),
+            line_obs_mask=jnp.asarray(line_mask),
+            Rwg=jnp.asarray(self.Rwg),
+            gravity_fixed=True,
+            imu=self._imu_factors(frames) if self.imu_initialized else None,
+            Rcb=jnp.asarray(Tcb[:3, :3]),
+            tcb=jnp.asarray(Tcb[:3, 3]),
+        )
+        return problem, (frame_index, p_real, l_real)
+
+    def _imu_factors(self, frames):
+        """Consecutive-window preintegration factors (when IMU is running)."""
+        rows = []
+        for k in range(len(frames) - 1, 0, -1):
+            f_prev, f_cur = frames[k], frames[k - 1]
+            pre = f_cur.preintegration
+            if pre is None or not pre.valid():
+                continue
+            st = pre.state
+            cov = np.asarray(st.cov)
+            info9 = np.linalg.inv(cov[:9, :9] + 1e-12 * np.eye(9))
+            info9 = 0.5 * (info9 + info9.T)
+            w, v = np.linalg.eigh(info9)
+            info9 = v @ np.diag(np.clip(w, 0, None)) @ v.T  # PSD projection
+            walk = np.zeros((6, 6))
+            walk[:3, :3] = np.linalg.inv(cov[9:12, 9:12] + 1e-12 * np.eye(3))
+            walk[3:, 3:] = np.linalg.inv(cov[12:15, 12:15] + 1e-12 * np.eye(3))
+            # frames[] is newest-first: frames[k] is the older endpoint
+            rows.append(dict(i=k, j=k - 1, st=st, pre=pre, info9=info9, walk=walk))
+        if not rows:
+            return None
+        K = len(rows)
+
+        def stack(key):
+            return jnp.asarray(np.stack([np.asarray(getattr(r["st"], key)) for r in rows]))
+
+        return gn.IMUFactors(
+            idx_i=jnp.asarray([r["i"] for r in rows], jnp.int32),
+            idx_j=jnp.asarray([r["j"] for r in rows], jnp.int32),
+            dR=stack("dR"), dV=stack("dV"), dP=stack("dP"),
+            JRg=stack("JRg"), JVg=stack("JVg"), JVa=stack("JVa"),
+            JPg=stack("JPg"), JPa=stack("JPa"),
+            bg_lin=jnp.asarray(np.stack([r["pre"].bg for r in rows])),
+            ba_lin=jnp.asarray(np.stack([r["pre"].ba for r in rows])),
+            dT=jnp.asarray([float(r["st"].dT) for r in rows]),
+            info=jnp.asarray(np.stack([r["info9"] for r in rows])),
+            info_walk=jnp.asarray(np.stack([r["walk"] for r in rows])),
+            mask=jnp.ones(K, bool),
+        )
+
+    def _write_back(self, out, p_in, l_in, frames, pose_fixed, mpts, mpls, layout):
+        frame_index, p_real, l_real = layout
+        Tcb = self.camera.Tcb if hasattr(self.camera, "Tcb") else np.eye(4)
+        Tbc = np.linalg.inv(Tcb)
+        Rwb = np.asarray(out.frames.Rwb)
+        twb = np.asarray(out.frames.twb)
+        for k, fr in enumerate(frames):
+            if pose_fixed[k]:
+                continue
+            Twb = np.eye(4)
+            Twb[:3, :3] = Rwb[k]
+            Twb[:3, 3] = twb[k]
+            fr.Twc = Twb @ Tbc
+            if self.imu_initialized:
+                fr.velocity = np.asarray(out.frames.vel[k])
+                fr.bg = np.asarray(out.frames.bg[k])
+                fr.ba = np.asarray(out.frames.ba[k])
+
+        pts = np.asarray(out.points)
+        p_in = np.asarray(p_in)
+        for j, mpt in enumerate(mpts):
+            mpt.set_position(pts[j])
+            # outlier observation removal (map.cc:859-943)
+            for fid in list(mpt.observers):
+                k = frame_index.get(fid)
+                if k is not None and not p_in[j, k]:
+                    kf = self.keyframes.get(fid)
+                    if kf is not None:
+                        idx = mpt.observers[fid]
+                        kf.mappoint_ids[idx] = -1
+                        kf.track_ids[idx] = -1
+                    mpt.remove_observer(fid)
+            if len(mpt.observers) == 0:
+                mpt.set_bad()
+
+        lns = np.asarray(out.lines)
+        l_in = np.asarray(l_in)
+        for j, mpl in enumerate(mpls):
+            mpl.set_line3d(lns[j])
+            for fid in list(mpl.observers):
+                k = frame_index.get(fid)
+                if k is not None and not l_in[j, k]:
+                    kf = self.keyframes.get(fid)
+                    if kf is not None:
+                        idx = mpl.observers[fid]
+                        kf.mapline_ids[idx] = -1
+                        kf.line_track_ids[idx] = -1
+                    mpl.remove_observer(fid)
+            if len(mpl.observers) == 0:
+                mpl.set_bad()
+            else:
+                self.update_mapline_endpoints(mpl)
+
+    # ------------------------------------------------------------------
+    # covisibility (map.cc:1385-1425)
+    # ------------------------------------------------------------------
+
+    def _update_covisibility(self, frame: Frame):
+        counts: Dict[int, int] = {}
+        for tid in frame.mappoint_ids[frame.mappoint_ids >= 0]:
+            mpt = self.mappoints.get(int(tid))
+            if mpt is None:
+                continue
+            for ofid in mpt.observers:
+                if ofid != frame.frame_id:
+                    counts[ofid] = counts.get(ofid, 0) + 1
+        self.covisibility[frame.frame_id] = counts
+        for ofid, c in counts.items():
+            self.covisibility.setdefault(ofid, {})[frame.frame_id] = c
+
+    def covisible_frames(self, frame_id: int, min_shared: int = 1):
+        return [
+            fid for fid, c in self.covisibility.get(frame_id, {}).items()
+            if c >= min_shared
+        ]
+
+    # ------------------------------------------------------------------
+    # IMU initialization (map.cc:1046-1209)
+    # ------------------------------------------------------------------
+
+    def initialize_imu(self, frame: Frame):
+        """Requires ≥10 keyframes spanning ≥3 s with motion; closed-form
+        gyro-bias + velocity/gravity seeds, then gravity alignment."""
+        if len(self.keyframe_ids) < 10:
+            return False
+        kfs = [self.keyframes[fid] for fid in self.keyframe_ids]
+        if kfs[-1].timestamp - kfs[0].timestamp < 3.0:
+            return False
+        chain = []
+        for kf in kfs[1:]:
+            if kf.preintegration is None or not kf.preintegration.valid():
+                return False
+            chain.append(kf.preintegration)
+
+        Tcb = self.camera.Tcb
+        Rwb = np.stack([(kf.Twc @ Tcb)[:3, :3] for kf in kfs])
+        twb = np.stack([(kf.Twc @ Tcb)[:3, 3] for kf in kfs])
+
+        dR = np.stack([np.asarray(p.state.dR) for p in chain])
+        JRg = np.stack([np.asarray(p.state.JRg) for p in chain])
+        bg = np.asarray(windows.compute_gyr_bias(jnp.asarray(Rwb), jnp.asarray(dR), jnp.asarray(JRg)))
+
+        for p in chain:
+            p.set_bias(bg, np.zeros(3))
+
+        dP = np.stack([np.asarray(p.state.dP) for p in chain])
+        dV = np.stack([np.asarray(p.state.dV) for p in chain])
+        dT = np.asarray([p.dT for p in chain])
+        vels, gravity = windows.compute_velocity(
+            jnp.asarray(Rwb), jnp.asarray(twb), jnp.asarray(dP), jnp.asarray(dV),
+            jnp.asarray(dT), self.camera.g_value,
+        )
+        gravity = np.asarray(gravity)
+        if np.linalg.norm(gravity) < 1e-6:
+            return False
+        self.Rwg = np.asarray(windows.gravity_to_rwg(jnp.asarray(gravity)))
+        for kf, v in zip(kfs, np.asarray(vels)):
+            kf.velocity = v
+            kf.bg = bg
+        self.imu_initialized = True
+        return True
+
+    # ------------------------------------------------------------------
+    # export (map.cc:1000-1008)
+    # ------------------------------------------------------------------
+
+    def keyframe_trajectory(self):
+        """[(timestamp, Twc)] in keyframe order."""
+        return [
+            (self.keyframes[fid].timestamp, self.keyframes[fid].Twc)
+            for fid in self.keyframe_ids
+        ]
+
+    def check_map(self):
+        """Consistency assertions (Map::CheckMap, map.cc:1448-1485)."""
+        for tid, mpt in self.mappoints.items():
+            for fid, idx in mpt.observers.items():
+                kf = self.keyframes.get(fid)
+                assert kf is not None, f"mappoint {tid} observes missing kf {fid}"
+                assert kf.mappoint_ids[idx] == tid or kf.mappoint_ids[idx] == -1
+        for ltid, mpl in self.maplines.items():
+            for fid, idx in mpl.observers.items():
+                assert fid in self.keyframes

@@ -1,0 +1,63 @@
+"""Benchmark: stereo frontend (detect + match) throughput per chip @752×480.
+
+This is the BASELINE.json headline metric. The reference's full-system stereo
+VO runs at 73 Hz on a desktop GPU (README.md:33); the driver target for the
+TPU rebuild is ≥200 Hz frontend per v5e chip. ``vs_baseline`` reports
+value / 73.0 (the reference's published full-system number).
+
+The measured program is ONE fused XLA step per frame: resize → PLNet (both
+stereo views as a batch of 2) → wireframe + keypoint decode → LightGlue →
+match decode, with no host round trips inside the frame.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_HZ = 73.0  # /root/reference/README.md:33
+
+
+def main():
+    from airslam_tpu.utils import jaxcache
+
+    jaxcache.enable()
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    step = jax.jit(fn)
+
+    # distinct random frames each iteration + per-frame host fetch of the
+    # match indices (what a SLAM host loop consumes) so the runtime cannot
+    # batch, dedupe, or hide execution behind async dispatch.
+    rng = np.random.RandomState(0)
+    pairs = [jnp.asarray(rng.rand(2, 480, 752).astype(np.float32)) for _ in range(8)]
+
+    # warmup / compile
+    out = step(*args[:-1], pairs[0])
+    jax.block_until_ready(out)
+
+    n_iters = 50
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = step(*args[:-1], pairs[i % 8])
+        _ = np.asarray(out[2])  # match indices to host
+    dt = time.perf_counter() - t0
+
+    hz = n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_frontend_hz_per_chip",
+                "value": round(hz, 2),
+                "unit": "Hz @752x480 (detect 2 views + match, fused)",
+                "vs_baseline": round(hz / REFERENCE_HZ, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+import os
+
+import numpy as np
+import pytest
+
+from airslam_tpu.io.config import (
+    VisualOdometryConfigs, MapRefinementConfigs, RelocalizationConfigs,
+)
+from airslam_tpu.io.trajectory import save_tum, load_tum, ate_rmse
+
+REF_CFG = "/root/reference/configs"
+
+
+def test_vo_config_parses_reference_yaml():
+    cfg = VisualOdometryConfigs.load(f"{REF_CFG}/visual_odometry/vo_euroc.yaml")
+    assert cfg.detector.max_keypoints == 400
+    assert cfg.detector.use_superpoint
+    assert cfg.detector.keypoint_threshold == pytest.approx(0.004)
+    assert cfg.matcher.matcher == 0
+    assert cfg.keyframe.min_init_stereo_feature == 90
+    assert cfg.keyframe.tracking_point_rate == pytest.approx(0.65)
+    assert cfg.tracking_optimization.stereo_point == 75
+    assert cfg.backend_optimization.line_sigma == pytest.approx(0.5)
+    assert cfg.publisher.feature and cfg.publisher.feature_topic == "/AirSLAM/feature"
+
+
+def test_mr_config_parses_reference_yaml():
+    cfg = MapRefinementConfigs.load(f"{REF_CFG}/map_refinement/mr_euroc.yaml")
+    assert cfg.matcher.matcher == 0
+    assert cfg.backend_optimization.mono_point == 50
+    assert not cfg.publisher.feature
+
+
+def test_reloc_config_parses_reference_yaml():
+    cfg = RelocalizationConfigs.load(f"{REF_CFG}/relocalization/reloc_euroc.yaml")
+    assert cfg.min_inlier_num == 45
+    assert cfg.pose_refinement
+    assert not cfg.detector.use_superpoint
+    assert cfg.detector.line_threshold == pytest.approx(0.8)
+    assert cfg.tracking_optimization.stereo_line == 75
+
+
+def test_tum_roundtrip(tmp_path):
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.RandomState(0)
+    traj = []
+    for i in range(5):
+        T = np.eye(4)
+        T[:3, :3] = Rotation.random(random_state=rng).as_matrix()
+        T[:3, 3] = rng.randn(3)
+        traj.append((1403636579.8 + i * 0.05, T))
+    p = os.path.join(tmp_path, "t.txt")
+    save_tum(p, traj)
+    loaded = load_tum(p)
+    for (t0, T0), (t1, T1) in zip(traj, loaded):
+        assert abs(t0 - t1) < 1e-6
+        assert np.allclose(T0, T1, atol=1e-7)
+
+
+def test_ate_alignment():
+    rng = np.random.RandomState(1)
+    from scipy.spatial.transform import Rotation
+
+    gt = []
+    for i in range(20):
+        T = np.eye(4)
+        T[:3, 3] = [i * 0.1, np.sin(i * 0.3), 0]
+        gt.append((i * 0.1, T))
+    # estimate = similarity-transformed ground truth → ATE after align ≈ 0
+    R = Rotation.from_euler("z", 0.7).as_matrix()
+    s = 1.3
+    est = []
+    for t, T in gt:
+        T2 = np.eye(4)
+        T2[:3, 3] = s * R @ T[:3, 3] + np.array([5, -2, 1])
+        est.append((t, T2))
+    assert ate_rmse(est, gt, align=True) < 1e-9
+    assert ate_rmse(est, gt, align=False) > 1.0
