@@ -89,7 +89,7 @@ class BAProblem(NamedTuple):
     line_obs_stereo: jax.Array  # (L, F) bool
     line_obs_mask: jax.Array  # (L, F) bool
     Rwg: jax.Array  # (3, 3) gravity direction
-    gravity_fixed: bool
+    gravity_free: jax.Array  # () float — 1.0 optimizes gravity, 0.0 pins it
     imu: Optional[IMUFactors]
     # camera
     Rcb: jax.Array  # (3, 3)
@@ -394,8 +394,10 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
 
         cm_i = jax.vmap(col_mask_for)(imu.idx_i)  # (K, 15)
         cm_j = jax.vmap(col_mask_for)(imu.idx_j)
-        g_free = 0.0 if problem.gravity_fixed else 1.0
-        cm = jnp.concatenate([cm_i, cm_j, jnp.full((ir.shape[0], 2), g_free)], axis=1)
+        g_free = problem.gravity_free
+        cm = jnp.concatenate(
+            [cm_i, cm_j, jnp.broadcast_to(g_free, (ir.shape[0], 2))], axis=1
+        )
         iJ = iJ * cm[:, None, :]
 
         JtW = jnp.einsum("krc,krs->ksc", iJ, big_info)  # (K, 15, 32)
@@ -488,13 +490,14 @@ def apply_update(problem: BAProblem, dx_frames, dg, dp, dl) -> BAProblem:
         bg=fr.bg + dx_frames[:, 9:12],
         ba=fr.ba + dx_frames[:, 12:15],
     )
-    Rwg = problem.Rwg @ lie.so3_exp(jnp.concatenate([dg, jnp.zeros(1, dg.dtype)]))
+    dg_eff = dg * problem.gravity_free
+    Rwg = problem.Rwg @ lie.so3_exp(jnp.concatenate([dg_eff, jnp.zeros(1, dg.dtype)]))
     new_lines = jax.vmap(lie.line_orthonormal_oplus)(problem.lines, dl)
     return problem._replace(
         frames=new_frames,
         points=problem.points + dp,
         lines=new_lines,
-        Rwg=Rwg if not problem.gravity_fixed else problem.Rwg,
+        Rwg=Rwg,
     )
 
 

@@ -18,6 +18,7 @@ batched LM core.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -28,6 +29,7 @@ from airslam_tpu.backend import residuals as res
 from airslam_tpu.core import lie
 
 
+@functools.partial(jax.jit, static_argnames=("iters1", "iters2"))
 def local_ba(
     problem: gn.BAProblem,
     intr,
@@ -62,6 +64,7 @@ def local_ba(
     return final, point_inlier, line_inlier
 
 
+@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
 def pose_only_optimization(
     problem: gn.BAProblem,
     intr,
@@ -120,6 +123,7 @@ def _pose_graph_cost(p: PoseGraphProblem):
     return jnp.sum(jnp.where(p.mask, costs, 0.0))
 
 
+@functools.partial(jax.jit, static_argnames=("iterations",))
 def pose_graph_optimization(p: PoseGraphProblem, iterations: int = 20) -> PoseGraphProblem:
     """Dense LM over 6F dims with relative-pose residuals."""
     f = p.Rwb.shape[0]

@@ -370,7 +370,7 @@ class MapBuilder:
             line_obs_stereo=jnp.zeros((1, 1), bool),
             line_obs_mask=jnp.zeros((1, 1), bool),
             Rwg=jnp.asarray(self.map.Rwg),
-            gravity_fixed=True,
+            gravity_free=jnp.asarray(0.0),
             imu=None,
             Rcb=jnp.asarray(Tcb[:3, :3]),
             tcb=jnp.asarray(Tcb[:3, 3]),

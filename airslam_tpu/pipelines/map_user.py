@@ -1,0 +1,275 @@
+"""Relocalization pipeline (lightweight monocular query against a refined map).
+
+Replaces ``src/map_user.cc``: detect (PLNet points+lines+junctions) → point +
+junction BoW → shared-word filter (≥ max(0.3·max, 8)) → covisibility grouping
+(group score = top-5 member scores) → junction structure-graph re-rank
+(score += junction_score·(1 + line-preserving match rate)) → LightGlue vs the
+top-3 groups → PnP → optional pose-only refinement; success iff inliers ≥
+``min_inlier_num`` (45).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from airslam_tpu.backend import gn, windows
+from airslam_tpu.loopclosure.database import Database
+from airslam_tpu.slam.frame import Frame
+from airslam_tpu.slam.map import Map
+
+
+def junction_connections(junctions_xy, junc_mask, lines, line_mask, radius: float = 2.0):
+    """Junction graph from line endpoints: junction j connects to k iff some
+    line's endpoints fall within a (2r+1)² window of each
+    (``Frame::FindJunctionConnections``, frame.cc:581-629).
+    Returns list[set[int]] per junction."""
+    j = len(junctions_xy)
+    conns = [set() for _ in range(j)]
+    valid_j = np.nonzero(junc_mask)[0]
+    if len(valid_j) == 0:
+        return conns
+    jxy = junctions_xy[valid_j]
+    for li in np.nonzero(line_mask)[0]:
+        x1, y1, x2, y2 = lines[li]
+        d1 = np.max(np.abs(jxy - [x1, y1]), axis=1)
+        d2 = np.max(np.abs(jxy - [x2, y2]), axis=1)
+        e1 = valid_j[d1 <= radius]
+        e2 = valid_j[d2 <= radius]
+        for a in e1:
+            for b in e2:
+                if a != b:
+                    conns[a].add(int(b))
+                    conns[b].add(int(a))
+    return conns
+
+
+class MapUser:
+    def __init__(self, m: Map, detector, matcher, point_db: Database,
+                 junction_db: Optional[Database], min_inlier_num: int = 45,
+                 pose_refinement: bool = False, match_threshold=None):
+        self.map = m
+        self.detector = detector
+        self.matcher = matcher
+        self.database = point_db
+        self.junction_database = junction_db
+        self.min_inlier_num = min_inlier_num
+        self.pose_refinement = pose_refinement
+        self.match_threshold = match_threshold
+        self._frame_counter = 10_000_000
+        # precompute per-keyframe junction connections
+        self._kf_junc_conns: Dict[int, list] = {}
+        for fid in m.keyframe_ids:
+            kf = m.keyframes[fid]
+            self._kf_junc_conns[fid] = junction_connections(
+                kf.junctions, kf.junc_mask, kf.lines, kf.line_mask
+            )
+
+    # ------------------------------------------------------------------
+
+    def relocalize_image(self, image):
+        """image: (H, W) grayscale [0, 1] (already undistorted or raw — the
+        map's rectify maps are applied if present). Returns (ok, Twc)."""
+        if self.detector is None:
+            raise RuntimeError("detector required for image queries")
+        ml, _ = self.map.camera.rectify_maps()
+        if ml is not None:
+            from airslam_tpu.ops.gridsample import remap
+
+            image = np.asarray(remap(jnp.asarray(image, jnp.float32), ml))
+        feats = self.detector.detect(np.asarray(image)[None], detect_junctions=True)
+        import jax.tree_util as jtu
+
+        f0 = jtu.tree_map(lambda t: np.asarray(t[0]), feats)
+        frame = Frame(self._frame_counter, 0.0, f0, self.map.camera)
+        self._frame_counter += 1
+        return self.relocalize_frame(frame)
+
+    def relocalize_frame(self, frame: Frame):
+        """Core entry taking a built Frame (also the test surface)."""
+        vec, wids, word_features = self.database.frame_to_bow(
+            frame.kp_desc, frame.kp_mask
+        )
+        jvec = {}
+        jwids = np.full(len(frame.junc_mask), -1)
+        if self.junction_database is not None and frame.junc_mask.any():
+            jvec, jwids, _ = self.junction_database.frame_to_bow(
+                frame.junc_desc, frame.junc_mask
+            )
+
+        counts = self.database.query(vec)
+        if not counts:
+            return False, np.eye(4)
+        max_sharing = max(counts.values())
+        thr = max(int(max_sharing * 0.3), 8)
+        cands = {f: c for f, c in counts.items() if c >= thr}
+        if not cands:
+            return False, np.eye(4)
+
+        scores = {f: self.database.score(self.database.frame_bow[f], vec) for f in cands}
+
+        # grouping (map_user.cc:180-242); group score = top-5 member scores
+        groups: Dict[int, dict] = {}
+        for f, s in scores.items():
+            deputy, dscore = f, s
+            members = {f}
+            for cf in self.map.covisible_frames(f, min_shared=11):
+                if cf in scores:
+                    members.add(cf)
+                    if scores[cf] > dscore:
+                        deputy, dscore = cf, scores[cf]
+            gscore = sum(sorted((scores[m] for m in members), reverse=True)[:5])
+            if deputy not in groups or groups[deputy]["score"] < gscore:
+                groups[deputy] = dict(score=gscore, members=members)
+        best_score = max(g["score"] for g in groups.values())
+        if len(groups) > 3:
+            groups = {d: g for d, g in groups.items() if g["score"] >= 0.5 * best_score}
+
+        # junction structure-graph re-rank (map_user.cc:285-349)
+        if self.junction_database is not None and frame.junc_mask.any():
+            q_conns = junction_connections(
+                frame.junctions, frame.junc_mask, frame.lines, frame.line_mask
+            )
+            for deputy, g in groups.items():
+                g["score"] += self._junction_score(deputy, jvec, jwids, q_conns)
+
+        ordered = sorted(groups.items(), key=lambda kv: -kv[1]["score"])[:3]
+
+        best_pairs, best_kf = None, None
+        for deputy, _ in ordered:
+            kf = self.map.keyframes[deputy]
+            pairs, _ = self.matcher.matching_points(
+                frame, kf, outlier_rejection=True, threshold=self.match_threshold
+            )
+            if best_pairs is None or len(pairs) > len(best_pairs):
+                best_pairs, best_kf = pairs, deputy
+        if best_pairs is None or len(best_pairs) < self.min_inlier_num:
+            return False, np.eye(4)
+
+        loop_kf = self.map.keyframes[best_kf]
+        matched = {}
+        for qi, li in best_pairs:
+            tid = int(loop_kf.track_ids[li])
+            mpt = self.map.mappoints.get(tid)
+            if mpt is not None and mpt.is_valid:
+                matched[int(qi)] = mpt
+
+        ok, Twc, n_inliers = self._solve_pnp(frame, matched)
+        if not ok:
+            return False, np.eye(4)
+        frame.set_pose(Twc)
+
+        if self.pose_refinement:
+            if len(matched) < self.min_inlier_num:
+                return False, Twc
+            Twc, n_inliers = self._refine_pose(frame, matched)
+
+        if n_inliers < self.min_inlier_num:
+            return False, Twc
+        return True, Twc
+
+    # ------------------------------------------------------------------
+
+    def _junction_score(self, kf_id: int, jvec: dict, jwids, q_conns):
+        """score = junction L1 score × (1 + line-preserving match rate)."""
+        kf = self.map.keyframes[kf_id]
+        if kf.junction_bow_vector is None:
+            return 0.0
+        jscore = self.junction_database.score(kf.junction_bow_vector, jvec)
+
+        inv = self.junction_database.inverted_file
+        kf_conns = self._kf_junc_conns.get(kf_id, [])
+        nq = len(jwids)
+        match_junctions: List[List[int]] = [[] for _ in range(nq)]
+        match_matrix = {}
+        for i, wid in enumerate(jwids):
+            if wid < 0:
+                continue
+            entry = inv.get(int(wid), {}).get(kf_id)
+            if not entry:
+                continue
+            match_junctions[i] = entry
+            for j in entry:
+                match_matrix[(i, j)] = True
+
+        match_num = 0
+        line_match_num = 0
+        for i in range(nq):
+            if not match_junctions[i] or not q_conns[i]:
+                continue
+            match_num += len(match_junctions[i])
+            for j in match_junctions[i]:
+                if j >= len(kf_conns) or not kf_conns[j]:
+                    continue
+                for a in q_conns[i]:
+                    for b in kf_conns[j]:
+                        if match_matrix.get((a, b)):
+                            line_match_num += 1
+        rate = line_match_num / match_num if match_num > 0 else 0.0
+        return jscore * (1.0 + rate)
+
+    def _solve_pnp(self, frame, matched):
+        if cv2 is None or len(matched) < 8:
+            return False, np.eye(4), 0
+        cam = self.map.camera
+        obj = np.asarray([m.position for m in matched.values()], np.float64)
+        img = np.asarray([frame.keypoints[i] for i in matched], np.float64)
+        K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]])
+        try:
+            ok, rvec, tvec, inl = cv2.solvePnPRansac(
+                obj, img, K, np.zeros(5), iterationsCount=100,
+                reprojectionError=20.0, confidence=0.99,
+            )
+        except cv2.error:
+            return False, np.eye(4), 0
+        if not ok:
+            return False, np.eye(4), 0
+        Rcw, _ = cv2.Rodrigues(rvec)
+        Twc = np.eye(4)
+        Twc[:3, :3] = Rcw.T
+        Twc[:3, 3] = -Rcw.T @ tvec[:, 0]
+        return True, Twc, 0 if inl is None else len(inl)
+
+    def _refine_pose(self, frame, matched):
+        """Pose-only GN refinement against the matched mappoints."""
+        p = len(matched)
+        P = max(64, 1 << (p - 1).bit_length())
+        points = np.zeros((P, 3))
+        obs = np.zeros((P, 1, 3))
+        obs[..., 2] = -1.0
+        mask = np.zeros((P, 1), bool)
+        for j, (qi, mpt) in enumerate(matched.items()):
+            points[j] = mpt.position
+            obs[j, 0] = frame.keypoint_position(qi)
+            mask[j, 0] = True
+        cam = self.map.camera
+        Tcb = cam.Tcb
+        Twb = frame.Twc @ Tcb
+        problem = gn.BAProblem(
+            frames=gn.FrameStates(
+                Rwb=jnp.asarray(Twb[None, :3, :3]), twb=jnp.asarray(Twb[None, :3, 3]),
+                vel=jnp.zeros((1, 3)), bg=jnp.zeros((1, 3)), ba=jnp.zeros((1, 3)),
+            ),
+            pose_fixed=jnp.zeros(1, bool), vel_fixed=jnp.ones(1, bool),
+            points=jnp.asarray(points), point_fixed=jnp.ones(P, bool),
+            point_obs=jnp.asarray(obs), point_obs_mask=jnp.asarray(mask),
+            lines=jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]]), line_fixed=jnp.ones(1, bool),
+            line_obs=jnp.zeros((1, 1, 8)), line_obs_stereo=jnp.zeros((1, 1), bool),
+            line_obs_mask=jnp.zeros((1, 1), bool),
+            Rwg=jnp.asarray(self.map.Rwg), gravity_free=jnp.asarray(0.0), imu=None,
+            Rcb=jnp.asarray(Tcb[:3, :3]), tcb=jnp.asarray(Tcb[:3, 3]),
+        )
+        out, _, _, n_in = windows.pose_only_optimization(
+            problem, self.map._intr, self.map.ba_config
+        )
+        Twb_new = np.eye(4)
+        Twb_new[:3, :3] = np.asarray(out.frames.Rwb[0])
+        Twb_new[:3, 3] = np.asarray(out.frames.twb[0])
+        return Twb_new @ np.linalg.inv(Tcb), int(n_in)

@@ -262,7 +262,10 @@ class Map:
             if k >= len(window) or f.frame_id == first_kf_id or k == len(window) - 1:
                 pose_fixed[k] = True
 
-        problem, layout = self._build_problem(all_frames, pose_fixed, mpts, mpls)
+        problem, layout = self._build_problem(
+            all_frames, pose_fixed, mpts, mpls,
+            pad_frames=WINDOW_SIZE + MAX_FIXED_FRAMES,
+        )
         if problem is None:
             return
         out, p_in, l_in = windows.local_ba(problem, self._intr, self.ba_config)
@@ -270,14 +273,20 @@ class Map:
         if self.on_local_ba is not None:
             self.on_local_ba(new_frame)
 
-    def _build_problem(self, frames, pose_fixed, mpts, mpls, all_free_points=False):
-        f = len(frames)
+    def _build_problem(self, frames, pose_fixed, mpts, mpls, pad_frames: int = 0):
+        """Build the dense BAProblem. ``pad_frames``: pad the frame dimension
+        to this static size (identity dummy frames, fixed) so every local BA
+        reuses ONE compiled program regardless of window/observer counts."""
+        f_real = len(frames)
+        f = max(pad_frames, f_real)
         p_real, l_real = len(mpts), len(mpls)
         if p_real == 0 and l_real == 0:
             return None, None
         P = _bucket(max(p_real, 1))
         L = _bucket(max(l_real, 1), 32)
         frame_index = {fr.frame_id: k for k, fr in enumerate(frames)}
+        if f > f_real:
+            pose_fixed = np.concatenate([pose_fixed, np.ones(f - f_real, bool)])
 
         point_obs = np.zeros((P, f, 3))
         point_obs[..., 2] = -1.0
@@ -311,7 +320,7 @@ class Map:
                 line_mask[j, k] = True
 
         Tcb = self.camera.Tcb if hasattr(self.camera, "Tcb") else np.eye(4)
-        Rwb = np.zeros((f, 3, 3))
+        Rwb = np.tile(np.eye(3), (f, 1, 1))  # identity for padded frames
         twb = np.zeros((f, 3))
         vel = np.zeros((f, 3))
         bg = np.zeros((f, 3))
@@ -351,7 +360,7 @@ class Map:
             line_obs_stereo=jnp.asarray(line_stereo),
             line_obs_mask=jnp.asarray(line_mask),
             Rwg=jnp.asarray(self.Rwg),
-            gravity_fixed=True,
+            gravity_free=jnp.asarray(0.0),
             imu=self._imu_factors(frames) if self.imu_initialized else None,
             Rcb=jnp.asarray(Tcb[:3, :3]),
             tcb=jnp.asarray(Tcb[:3, 3]),
@@ -450,6 +459,68 @@ class Map:
                 mpl.set_bad()
             else:
                 self.update_mapline_endpoints(mpl)
+
+    def global_bundle_adjustment(self, iters1: int = 50, iters2: int = 40):
+        """Full-map BA over all keyframes/landmarks (``GlobalBA``,
+        g2o_optimization.cc:1488-1959): robust pass → outlier rejection →
+        second pass, first keyframe fixed."""
+        if len(self.keyframes) < 2:
+            return
+        frames = [self.keyframes[fid] for fid in reversed(self.keyframe_ids)]
+        pose_fixed = np.zeros(len(frames), bool)
+        pose_fixed[-1] = True  # oldest keyframe (newest-first ordering)
+        mpts = [m for m in self.mappoints.values() if m.is_valid and m.observers]
+        mpls = [l for l in self.maplines.values() if l.is_valid and l.observers]
+        problem, layout = self._build_problem(
+            frames, pose_fixed, mpts, mpls, pad_frames=_bucket(len(frames), 8)
+        )
+        if problem is None:
+            return
+        out, p_in, l_in = windows.local_ba(
+            problem, self._intr, self.ba_config, iters1=iters1, iters2=iters2
+        )
+        self._write_back(out, p_in, l_in, frames, pose_fixed, mpts, mpls, layout)
+
+    def update_covisibility_graph(self):
+        """Rebuild the whole covisibility graph (map.cc:1385-1418)."""
+        self.covisibility = {}
+        for fid in self.keyframe_ids:
+            self._update_covisibility(self.keyframes[fid])
+
+    def apply_pose_corrections(self, corrections):
+        """Transform keyframe poses and landmarks after pose-graph
+        optimization (map_refiner.cc:540-591): each landmark moves with its
+        first observer's correction T_new · T_old⁻¹."""
+        old_poses = {fid: self.keyframes[fid].Twc.copy() for fid in corrections}
+        for fid, Twc_new in corrections.items():
+            self.keyframes[fid].set_pose(Twc_new)
+        for mpt in self.mappoints.values():
+            if not mpt.is_valid or not mpt.observers:
+                continue
+            first = min(mpt.observers)
+            if first in corrections:
+                A = corrections[first] @ np.linalg.inv(old_poses[first])
+                mpt.position = A[:3, :3] @ mpt.position + A[:3, 3]
+        from airslam_tpu.core import lie as _lie
+        import jax.numpy as _jnp
+
+        for mpl in self.maplines.values():
+            if not mpl.is_valid or not mpl.observers:
+                continue
+            first = min(mpl.observers)
+            if first in corrections:
+                A = corrections[first] @ np.linalg.inv(old_poses[first])
+                mpl.line3d = np.asarray(
+                    _lie.line_transform(
+                        _jnp.asarray(A[:3, :3]), _jnp.asarray(A[:3, 3]),
+                        _jnp.asarray(mpl.line3d),
+                    )
+                )
+                if mpl.endpoints_valid:
+                    e = mpl.endpoints
+                    mpl.endpoints = np.concatenate(
+                        [A[:3, :3] @ e[:3] + A[:3, 3], A[:3, :3] @ e[3:] + A[:3, 3]]
+                    )
 
     # ------------------------------------------------------------------
     # covisibility (map.cc:1385-1425)

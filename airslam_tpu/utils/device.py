@@ -1,0 +1,16 @@
+"""Device/platform selection for the CLI apps.
+
+The deployment container may pin JAX to a remote TPU plugin; ``--device cpu``
+forces local CPU through jax.config (which wins over the env var)."""
+
+import jax
+
+
+def select(device: str | None):
+    if device and device != "auto":
+        jax.config.update("jax_platforms", device)
+
+
+def add_arg(parser):
+    parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"],
+                        help="execution platform (default: environment's)")

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Visual(-inertial) odometry / mapping CLI.
+
+Equivalent of ``demo/visual_odometry.cpp`` + ``launch/visual_odometry/*``:
+consumes the reference's YAML configs unchanged, runs the VO pipeline over an
+ASL/EuRoC dataset, writes the TUM trajectory and the v0 map.
+
+Usage:
+  python apps/visual_odometry.py --config_path configs/vo_euroc.yaml \\
+      --camera_config_path configs/camera/euroc.yaml \\
+      --dataroot /data/euroc/MH_01/mav0 --saving_dir ./out [--model_dir weights/]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config_path", required=True)
+    ap.add_argument("--camera_config_path", required=True)
+    ap.add_argument("--dataroot", required=True)
+    ap.add_argument("--saving_dir", required=True)
+    ap.add_argument("--model_dir", default=None, help="directory with *.npz weights")
+    ap.add_argument("--traj_path", default=None)
+    ap.add_argument("--max_frames", type=int, default=0)
+    from airslam_tpu.utils import device as device_util
+
+    device_util.add_arg(ap)
+    args = ap.parse_args()
+    device_util.select(args.device)
+
+    from airslam_tpu.utils import jaxcache
+
+    jaxcache.enable()
+
+    from airslam_tpu.core.camera import Camera
+    from airslam_tpu.frontend.detector import FeatureDetector
+    from airslam_tpu.frontend.matcher import PointMatcher
+    from airslam_tpu.io.config import VisualOdometryConfigs
+    from airslam_tpu.io.dataset import Dataset
+    from airslam_tpu.io.serialization import save_map
+    from airslam_tpu.models.weights import load_params
+    from airslam_tpu.pipelines.map_builder import MapBuilder
+
+    cfg = VisualOdometryConfigs.load(args.config_path)
+    camera = Camera(args.camera_config_path)
+
+    det_params = mat_params = None
+    if args.model_dir:
+        dp = os.path.join(args.model_dir, "plnet.npz")
+        mp = os.path.join(args.model_dir, "lightglue.npz" if cfg.matcher.matcher == 0 else "superglue.npz")
+        det_params = load_params(dp) if os.path.exists(dp) else None
+        mat_params = load_params(mp) if os.path.exists(mp) else None
+
+    detector = FeatureDetector(cfg.detector, params=det_params)
+    matcher = PointMatcher(cfg.matcher, params=mat_params)
+    builder = MapBuilder(camera, detector, matcher, cfg.keyframe, cfg.backend_optimization)
+
+    dataset = Dataset(args.dataroot, use_imu=camera.use_imu)
+    n = len(dataset) if args.max_frames <= 0 else min(len(dataset), args.max_frames)
+    print(f"dataset: {n} frames")
+
+    t_start = time.perf_counter()
+    for i in range(n):
+        ts, left, right, imu_batch = dataset.get(i)
+        t0 = time.perf_counter()
+        builder.add_input(ts, left, right, imu_batch)
+        if i % 50 == 0:
+            print(f"frame {i}/{n}  {1e3 * (time.perf_counter() - t0):.1f} ms/frame")
+    elapsed = time.perf_counter() - t_start
+    print(f"Average FPS: {n / elapsed:.2f}")
+
+    os.makedirs(args.saving_dir, exist_ok=True)
+    traj = args.traj_path or os.path.join(args.saving_dir, "trajectory_v0.txt")
+    builder.save_trajectory(traj)
+    builder.map.check_map()
+    save_map(builder.map, os.path.join(args.saving_dir, "AirSLAM_mapv0.bin"))
+    print(f"saved {traj} and AirSLAM_mapv0.bin ({len(builder.map.keyframes)} keyframes)")
+
+
+if __name__ == "__main__":
+    main()

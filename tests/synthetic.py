@@ -118,7 +118,7 @@ def build_problem(
         line_obs_stereo=jnp.zeros((L, f), bool) if line_obs_stereo is None else jnp.asarray(line_obs_stereo),
         line_obs_mask=jnp.zeros((L, f), bool) if line_obs_mask is None else jnp.asarray(line_obs_mask),
         Rwg=jnp.eye(3, dtype=dtype),
-        gravity_fixed=True,
+        gravity_free=jnp.asarray(0.0),
         imu=imu,
         Rcb=jnp.asarray(scene["Rcb"], dtype),
         tcb=jnp.asarray(scene["tcb"], dtype),

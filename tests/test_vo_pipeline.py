@@ -84,9 +84,10 @@ def make_world(n_pts=300, seed=0):
     return pts, desc
 
 
-def render_features(pts, desc, Twc, cam, rng):
+def render_features(pts, desc, Twc, cam, rng, max_depth=None):
     """Project world points into the stereo pair; build FrameFeatures +
-    stereo pairs."""
+    stereo pairs. ``max_depth`` simulates a finite feature-visibility range
+    (needed to break covisibility for loop-closure scenarios)."""
     Rwc, twc = Twc[:3, :3], Twc[:3, 3]
     pc = (pts - twc) @ Rwc
     z = pc[:, 2]
@@ -94,9 +95,13 @@ def render_features(pts, desc, Twc, cam, rng):
     v = pc[:, 1] / z * cam.fy + cam.cy
     ur = u - cam.bf / z
     vis = (z > 0.5) & (u >= 5) & (u < 747) & (v >= 5) & (v < 475) & (ur >= 0)
+    if max_depth is not None:
+        vis &= z < max_depth
     vis_idx = np.nonzero(vis)[0]
-    rng.shuffle(vis_idx)
-    vis_idx = vis_idx[:K_BUDGET]
+    if len(vis_idx) > K_BUDGET:
+        # deterministic subsample: frames at the same place pick the same
+        # landmarks (maximizes revisit overlap, like a real detector would)
+        vis_idx = vis_idx[:: len(vis_idx) // K_BUDGET + 1][:K_BUDGET]
     k = len(vis_idx)
 
     def pad(a, shape):
