@@ -260,6 +260,96 @@ def compute_velocity(Rwb_seq, twb_seq, dP_seq, dV_seq, dT_seq, g_value):
     return vels, gravity
 
 
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def imu_initialization(
+    Rwb,  # (F, 3, 3) fixed body poses
+    twb,  # (F, 3)
+    vel0,  # (F, 3) velocity seeds
+    bg0,  # (3,) shared gyro-bias seed (= linearization bias of the preints)
+    ba0,  # (3,) shared acc-bias seed
+    Rwg0,  # (3, 3) gravity-direction seed
+    preint,  # dict of stacked (F-1, …) preintegration tensors:
+    #   dR, dV, dP, JRg, JVg, JVa, JPg, JPa, dT, info (9, 9)
+    g_value: float,
+    prior_bg,  # (3,) bias priors (frame 0's bias)
+    prior_ba,
+    iterations: int = 20,
+    info_prior_gyr: float = 1e2,  # g2o_optimization.cc:973-988
+    info_prior_acc: float = 1e5,
+):
+    """Visual-inertial initialization GN (``IMUInitialization``,
+    g2o_optimization.cc:900-1082): optimize per-frame velocities, ONE shared
+    gyr/acc bias pair (with priors), and the 2-dof gravity direction, with all
+    poses fixed. Returns (velocities (F, 3), bg, ba, Rwg)."""
+    from airslam_tpu.backend import residuals as _res
+
+    f = Rwb.shape[0]
+    k = f - 1
+    n = 3 * f + 6 + 2  # velocities | bg | ba | gravity tangent
+    dtype = twb.dtype
+
+    def residuals(x):
+        vels = x[: 3 * f].reshape(f, 3)
+        bg = x[3 * f: 3 * f + 3]
+        ba = x[3 * f + 3: 3 * f + 6]
+        Rwg = Rwg0 @ lie.so3_exp(jnp.concatenate([x[3 * f + 6:], jnp.zeros(1, dtype)]))
+
+        def one(i):
+            return _res.imu_residual(
+                Rwb[i], twb[i], vels[i],
+                Rwb[i + 1], twb[i + 1], vels[i + 1],
+                bg, ba,
+                preint["dR"][i], preint["dV"][i], preint["dP"][i],
+                preint["JRg"][i], preint["JVg"][i], preint["JVa"][i],
+                preint["JPg"][i], preint["JPa"][i],
+                bg0, ba0, preint["dT"][i], Rwg, g_value,
+            )
+
+        r = jax.vmap(one)(jnp.arange(k))  # (K, 9)
+        return r, bg - prior_bg, ba - prior_ba
+
+    def cost(x):
+        r, rbg, rba = residuals(x)
+        c = jnp.einsum("ki,kij,kj->", r, preint["info"], r)
+        return c + info_prior_gyr * rbg @ rbg + info_prior_acc * rba @ rba
+
+    def solve(x, lam):
+        J = jax.jacfwd(lambda y: residuals(y)[0])(x)  # (K, 9, n)
+        r, rbg, rba = residuals(x)
+        JtW = jnp.einsum("krc,krs->ksc", J, preint["info"])
+        H = jnp.einsum("ksc,ksd->cd", JtW, J)
+        b = -jnp.einsum("ksc,ks->c", JtW, r)
+        # bias priors
+        H = H.at[3 * f: 3 * f + 3, 3 * f: 3 * f + 3].add(info_prior_gyr * jnp.eye(3, dtype=dtype))
+        H = H.at[3 * f + 3: 3 * f + 6, 3 * f + 3: 3 * f + 6].add(info_prior_acc * jnp.eye(3, dtype=dtype))
+        b = b.at[3 * f: 3 * f + 3].add(-info_prior_gyr * rbg)
+        b = b.at[3 * f + 3: 3 * f + 6].add(-info_prior_acc * rba)
+        H = H + lam * jnp.eye(n, dtype=dtype)
+        return x + jnp.linalg.solve(H, b)
+
+    def body(carry, _):
+        x, lam, nu, c = carry
+        cand = solve(x, lam)
+        c2 = cost(cand)
+        accept = c2 < c
+        x2 = jnp.where(accept, cand, x)
+        return (
+            x2,
+            jnp.where(accept, lam / 3.0, lam * nu),
+            jnp.where(accept, 2.0, nu * 2.0),
+            jnp.where(accept, c2, c),
+        ), None
+
+    x0 = jnp.concatenate([vel0.reshape(-1), bg0, ba0, jnp.zeros(2, dtype)])
+    (x, _, _, _), _ = jax.lax.scan(body, (x0, 1e-4, 2.0, cost(x0)), None, length=iterations)
+
+    vels = x[: 3 * f].reshape(f, 3)
+    bg = x[3 * f: 3 * f + 3]
+    ba = x[3 * f + 3: 3 * f + 6]
+    Rwg = Rwg0 @ lie.so3_exp(jnp.concatenate([x[3 * f + 6:], jnp.zeros(1, dtype)]))
+    return vels, bg, ba, Rwg
+
+
 def gravity_to_rwg(gravity, dtype=jnp.float64):
     """Rotation aligning the world z-down gravity to the estimated gravity
     direction (the Rwg convention of VertexGDirection / map.cc:1168-1200)."""

@@ -61,15 +61,19 @@ INIT_TWC = np.array(
 
 class MapBuilder:
     def __init__(self, camera, detector, matcher, kf_config: Optional[KeyframeConfig] = None,
-                 ba_config=None, match_threshold: Optional[float] = None):
+                 ba_config=None, match_threshold: Optional[float] = None,
+                 publisher=None):
         """detector/matcher: FeatureDetector / PointMatcher (or test doubles
-        with the same interface)."""
+        with the same interface). ``publisher``: optional io.publisher.Publisher
+        receiving frame-pose / keyframe / map messages (the RosPublisher role,
+        map_builder.cc:497-548)."""
         self.camera = camera
         self.detector = detector
         self.matcher = matcher
         self.kf_config = kf_config or KeyframeConfig()
         self.map = Map(camera, ba_config)
         self.match_threshold = match_threshold
+        self.publisher = publisher
 
         self.init = False
         self.insert_next_keyframe = True
@@ -147,7 +151,31 @@ class MapBuilder:
             self.insert_next_keyframe = True
 
         self.last_tracked_frame = frame
+        self._publish(frame)
         return frame
+
+    def _publish(self, frame: Frame):
+        if self.publisher is None:
+            return
+        from airslam_tpu.io import publisher as pub
+
+        self.publisher.publish_frame_pose(
+            pub.FramePoseMessage(time=frame.timestamp, pose=frame.Twc.copy())
+        )
+        m = self.map
+        self.publisher.publish_keyframes(
+            pub.KeyframeMessage(
+                time=frame.timestamp, ids=list(m.keyframe_ids),
+                poses=[m.keyframes[f].Twc.copy() for f in m.keyframe_ids],
+            )
+        )
+        pts = np.asarray([p.position for p in m.mappoints.values() if p.is_valid])
+        self.publisher.publish_map(pub.MapMessage(time=frame.timestamp, points=pts))
+        ends = np.asarray([l.endpoints for l in m.maplines.values()
+                           if l.is_valid and l.endpoints_valid])
+        self.publisher.publish_maplines(
+            pub.MaplineMessage(time=frame.timestamp, endpoints=ends)
+        )
 
     # ------------------------------------------------------------------
 

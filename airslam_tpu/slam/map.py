@@ -550,33 +550,57 @@ class Map:
     # ------------------------------------------------------------------
 
     def initialize_imu(self, frame: Frame):
-        """Requires ≥10 keyframes spanning ≥3 s with motion; closed-form
-        gyro-bias + velocity/gravity seeds, then gravity alignment."""
-        if len(self.keyframe_ids) < 10:
+        """Full VI initialization (``Map::InitializeIMU``, map.cc:1046-1209):
+        requires ≥ 10 keyframes spanning ≥ 3 s with ≥ 5 mm inter-keyframe
+        motion; closed-form gyro-bias + velocity/gravity seeds, GN refinement
+        of velocities/shared bias/gravity, then gravity alignment of the
+        whole map (keyframes, landmarks, velocities) so Rwg = I."""
+        init_frame = self._imu_init_frame
+        if init_frame is None:
             return False
-        kfs = [self.keyframes[fid] for fid in self.keyframe_ids]
-        if kfs[-1].timestamp - kfs[0].timestamp < 3.0:
+        if frame.timestamp - init_frame.timestamp < 3.0 or len(self.keyframes) < 10:
             return False
-        chain = []
-        for kf in kfs[1:]:
+
+        # chain from current back to init frame (oldest-first afterwards)
+        chain_frames = [frame]
+        f = frame.previous_frame
+        while f is not None and f.timestamp >= init_frame.timestamp:
+            chain_frames.append(f)
+            f = f.previous_frame
+        if len(chain_frames) < 10:
+            return False
+        chain_frames = chain_frames[::-1]
+
+        # motion check (map.cc:1057-1064)
+        for a, b in zip(chain_frames[:-1], chain_frames[1:]):
+            if np.linalg.norm(a.Twc[:3, 3] - b.Twc[:3, 3]) < 0.005:
+                self._imu_init_frame = b
+                return False
+
+        preints = []
+        for kf in chain_frames[1:]:
             if kf.preintegration is None or not kf.preintegration.valid():
                 return False
-            chain.append(kf.preintegration)
+            preints.append(kf.preintegration)
 
         Tcb = self.camera.Tcb
-        Rwb = np.stack([(kf.Twc @ Tcb)[:3, :3] for kf in kfs])
-        twb = np.stack([(kf.Twc @ Tcb)[:3, 3] for kf in kfs])
+        Rwb = np.stack([(kf.Twc @ Tcb)[:3, :3] for kf in chain_frames])
+        twb = np.stack([(kf.Twc @ Tcb)[:3, 3] for kf in chain_frames])
 
-        dR = np.stack([np.asarray(p.state.dR) for p in chain])
-        JRg = np.stack([np.asarray(p.state.JRg) for p in chain])
-        bg = np.asarray(windows.compute_gyr_bias(jnp.asarray(Rwb), jnp.asarray(dR), jnp.asarray(JRg)))
+        # 1. closed-form gyro bias, then repropagate all preints at it
+        dR = np.stack([np.asarray(p.state.dR) for p in preints])
+        JRg = np.stack([np.asarray(p.state.JRg) for p in preints])
+        dbg = np.asarray(
+            windows.compute_gyr_bias(jnp.asarray(Rwb), jnp.asarray(dR), jnp.asarray(JRg))
+        )
+        bg0 = preints[0].bg + dbg
+        for p in preints:
+            p.set_bias(bg0, p.ba)
 
-        for p in chain:
-            p.set_bias(bg, np.zeros(3))
-
-        dP = np.stack([np.asarray(p.state.dP) for p in chain])
-        dV = np.stack([np.asarray(p.state.dV) for p in chain])
-        dT = np.asarray([p.dT for p in chain])
+        # 2. closed-form velocities + gravity
+        dP = np.stack([np.asarray(p.state.dP) for p in preints])
+        dV = np.stack([np.asarray(p.state.dV) for p in preints])
+        dT = np.asarray([p.dT for p in preints])
         vels, gravity = windows.compute_velocity(
             jnp.asarray(Rwb), jnp.asarray(twb), jnp.asarray(dP), jnp.asarray(dV),
             jnp.asarray(dT), self.camera.g_value,
@@ -584,12 +608,100 @@ class Map:
         gravity = np.asarray(gravity)
         if np.linalg.norm(gravity) < 1e-6:
             return False
-        self.Rwg = np.asarray(windows.gravity_to_rwg(jnp.asarray(gravity)))
-        for kf, v in zip(kfs, np.asarray(vels)):
+        Rwg0 = np.asarray(windows.gravity_to_rwg(jnp.asarray(gravity)))
+
+        # 3. GN refinement over velocities / shared bias / gravity dir
+        def stack(key):
+            return jnp.asarray(np.stack([np.asarray(getattr(p.state, key)) for p in preints]))
+
+        infos = []
+        for p in preints:
+            cov = np.asarray(p.state.cov)[:9, :9]
+            inf = np.linalg.inv(cov + 1e-12 * np.eye(9))
+            inf = 0.5 * (inf + inf.T)
+            w, v = np.linalg.eigh(inf)
+            infos.append(v @ np.diag(np.clip(w, 0, None)) @ v.T)
+        preint_t = dict(
+            dR=stack("dR"), dV=stack("dV"), dP=stack("dP"),
+            JRg=stack("JRg"), JVg=stack("JVg"), JVa=stack("JVa"),
+            JPg=stack("JPg"), JPa=stack("JPa"),
+            dT=jnp.asarray(dT), info=jnp.asarray(np.stack(infos)),
+        )
+        vels_r, bg_r, ba_r, Rwg = windows.imu_initialization(
+            jnp.asarray(Rwb), jnp.asarray(twb), jnp.asarray(np.asarray(vels)),
+            jnp.asarray(bg0), jnp.asarray(preints[0].ba), jnp.asarray(Rwg0),
+            preint_t, self.camera.g_value,
+            jnp.asarray(bg0), jnp.asarray(preints[0].ba),
+        )
+        vels_r = np.asarray(vels_r)
+        bg_r, ba_r = np.asarray(bg_r), np.asarray(ba_r)
+        Rwg = np.asarray(Rwg)
+
+        # 4. write back states
+        for kf, v in zip(chain_frames, vels_r):
             kf.velocity = v
-            kf.bg = bg
+            kf.bg = bg_r.copy()
+            kf.ba = ba_r.copy()
+        for p in preints:
+            p.update_bias(bg_r, ba_r)
+
+        # 5. drop keyframes before the init frame (map.cc:1158-1166)
+        for fid in [i for i in self.keyframe_ids if i < init_frame.frame_id]:
+            self.delete_keyframe(fid)
+
+        # 6. rotate the whole map into the gravity-aligned frame
+        Rgw = Rwg.T
+        tgw = -Rgw @ (init_frame.Twc @ Tcb)[:3, 3]
+        Tgw = np.eye(4)
+        Tgw[:3, :3] = Rgw
+        Tgw[:3, 3] = tgw
+        Tbc = np.linalg.inv(Tcb)
+        for kf in self.keyframes.values():
+            kf.set_imu_pose(Tgw @ kf.imu_pose(Tcb), Tbc)
+            kf.velocity = Rgw @ kf.velocity
+        for mpt in self.mappoints.values():
+            if mpt.is_valid:
+                mpt.position = Rgw @ mpt.position + tgw
+        for mpl in self.maplines.values():
+            if mpl.is_valid:
+                mpl.line3d = np.asarray(
+                    lie.line_transform(
+                        jnp.asarray(Rgw), jnp.asarray(tgw), jnp.asarray(mpl.line3d)
+                    )
+                )
+                if mpl.endpoints_valid:
+                    e = mpl.endpoints
+                    mpl.endpoints = np.concatenate(
+                        [Rgw @ e[:3] + tgw, Rgw @ e[3:] + tgw]
+                    )
+
+        init_frame.preintegration = None
+        self.Rwg = np.eye(3)
         self.imu_initialized = True
         return True
+
+    def delete_keyframe(self, fid: int):
+        """Remove a keyframe and its landmark observations (map.cc's
+        DeleteKeyframe)."""
+        kf = self.keyframes.pop(fid, None)
+        if kf is None:
+            return
+        self.keyframe_ids = [i for i in self.keyframe_ids if i != fid]
+        for tid in kf.mappoint_ids[kf.mappoint_ids >= 0]:
+            mpt = self.mappoints.get(int(tid))
+            if mpt is not None:
+                mpt.remove_observer(fid)
+                if not mpt.observers:
+                    mpt.set_bad()
+        for ltid in kf.mapline_ids[kf.mapline_ids >= 0]:
+            mpl = self.maplines.get(int(ltid))
+            if mpl is not None:
+                mpl.remove_observer(fid)
+                if not mpl.observers:
+                    mpl.set_bad()
+        self.covisibility.pop(fid, None)
+        for d in self.covisibility.values():
+            d.pop(fid, None)
 
     # ------------------------------------------------------------------
     # export (map.cc:1000-1008)
@@ -601,6 +713,43 @@ class Map:
             (self.keyframes[fid].timestamp, self.keyframes[fid].Twc)
             for fid in self.keyframe_ids
         ]
+
+    def export_text(self, map_root: str):
+        """Plain-text map dump (``Map::SaveMap``, map.cc:1227-1278):
+        frames/<id>.txt with pose + per-feature (track_id, score, x, y,
+        descriptor) rows, and mappoints.txt with (id, x, y, z)."""
+        import os
+
+        frame_root = os.path.join(map_root, "frames")
+        os.makedirs(frame_root, exist_ok=True)
+        for fid in self.keyframe_ids:
+            kf = self.keyframes[fid]
+            lines = []
+            meta = [str(fid)] + [f"{kf.Twc[i, j]:.6f}" for i in range(3) for j in range(4)]
+            lines.append(",".join(meta))
+            for i in np.nonzero(kf.kp_mask)[0]:
+                row = [str(int(kf.track_ids[i])), f"{kf.kp_scores[i]:.6f}",
+                       f"{kf.keypoints[i, 0]:.3f}", f"{kf.keypoints[i, 1]:.3f}"]
+                row += [f"{v:.6f}" for v in kf.kp_desc[i]]
+                lines.append(",".join(row))
+            with open(os.path.join(frame_root, f"{fid}.txt"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+
+        rows = []
+        for mid, mpt in self.mappoints.items():
+            if mpt.is_valid:
+                p = mpt.position
+                rows.append(f"{mid},{p[0]:.6f},{p[1]:.6f},{p[2]:.6f}")
+        with open(os.path.join(map_root, "mappoints.txt"), "w") as f:
+            f.write("\n".join(rows) + "\n")
+
+    def map_scale(self) -> float:
+        """3× the largest per-axis std-dev of valid mappoints
+        (``Map::MapScale``, map.cc:1428-1446)."""
+        pts = np.asarray([m.position for m in self.mappoints.values() if m.is_valid])
+        if len(pts) == 0:
+            return 0.0
+        return float(3.0 * pts.std(axis=0).max())
 
     def check_map(self):
         """Consistency assertions (Map::CheckMap, map.cc:1448-1485)."""

@@ -18,6 +18,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compile cache: the jitted BA/frontend programs dominate test
+# wall time; repeated suite runs reuse the compiled binaries.
+from airslam_tpu.utils import jaxcache  # noqa: E402
+
+jaxcache.enable(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
 
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu"

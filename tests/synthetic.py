@@ -123,3 +123,81 @@ def build_problem(
         Rcb=jnp.asarray(scene["Rcb"], dtype),
         tcb=jnp.asarray(scene["tcb"], dtype),
     )
+
+
+# ---------------------------------------------------------------------------
+# synthetic IMU generation
+# ---------------------------------------------------------------------------
+
+
+def analytic_trajectory(t):
+    """Smooth 6-dof trajectory: returns (Rwb, p, v, a_world, gyr_body)."""
+    from scipy.spatial.transform import Rotation
+
+    w1, w2, w3 = 0.8, 0.6, 0.5
+    p = np.array([
+        0.5 * np.sin(w1 * t) + 0.25 * t,
+        0.3 * np.sin(w2 * t + 1.0),
+        0.2 * np.sin(w3 * t),
+    ])
+    v = np.array([
+        0.5 * w1 * np.cos(w1 * t) + 0.25,
+        0.3 * w2 * np.cos(w2 * t + 1.0),
+        0.2 * w3 * np.cos(w3 * t),
+    ])
+    a = np.array([
+        -0.5 * w1 * w1 * np.sin(w1 * t),
+        -0.3 * w2 * w2 * np.sin(w2 * t + 1.0),
+        -0.2 * w3 * w3 * np.sin(w3 * t),
+    ])
+    theta = np.array([
+        0.10 * np.sin(0.30 * t),
+        0.10 * np.sin(0.40 * t),
+        0.20 * np.sin(0.25 * t),
+    ])
+    dtheta = np.array([
+        0.10 * 0.30 * np.cos(0.30 * t),
+        0.10 * 0.40 * np.cos(0.40 * t),
+        0.20 * 0.25 * np.cos(0.25 * t),
+    ])
+    R = Rotation.from_rotvec(theta).as_matrix()
+    return R, p, v, a, dtheta
+
+
+def make_imu_sequence(duration=8.0, rate=200.0, g_value=9.81,
+                      bg=None, ba=None, noise=0.0, seed=0):
+    """Sampled IMU measurements along the analytic trajectory.
+
+    Returns dict with times (N,), Rwb (N,3,3), pos, vel (world), and the
+    measured gyr/acc (body frame, with biases + optional noise). The gyro is
+    the exact body rate from consecutive rotations (midpoint-consistent)."""
+    from scipy.spatial.transform import Rotation
+
+    rng = np.random.RandomState(seed)
+    bg = np.zeros(3) if bg is None else np.asarray(bg)
+    ba = np.zeros(3) if ba is None else np.asarray(ba)
+    n = int(duration * rate) + 1
+    dt = 1.0 / rate
+    times = np.arange(n) * dt
+    Rwb = np.zeros((n, 3, 3))
+    pos = np.zeros((n, 3))
+    vel = np.zeros((n, 3))
+    acc_m = np.zeros((n, 3))
+    gyr_m = np.zeros((n, 3))
+    g_world = np.array([0.0, 0.0, -g_value])
+    for i, t in enumerate(times):
+        R, p, v, a, _ = analytic_trajectory(t)
+        Rwb[i] = R
+        pos[i] = p
+        vel[i] = v
+        acc_m[i] = R.T @ (a - g_world) + ba
+    # body rates from consecutive rotations (exact for the sampling step)
+    for i in range(n - 1):
+        dRot = Rwb[i].T @ Rwb[i + 1]
+        gyr_m[i] = Rotation.from_matrix(dRot).as_rotvec() / dt + bg
+    gyr_m[-1] = gyr_m[-2]
+    if noise > 0:
+        acc_m += rng.randn(n, 3) * noise
+        gyr_m += rng.randn(n, 3) * noise * 0.1
+    return dict(times=times, Rwb=Rwb, pos=pos, vel=vel, acc=acc_m, gyr=gyr_m,
+                bg=bg, ba=ba, g_value=g_value)

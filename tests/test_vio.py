@@ -1,0 +1,261 @@
+"""Visual-inertial tests: IMU initialization (closed form + GN) on synthetic
+IMU data, IMU factors inside windowed BA, and the full VIO pipeline."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from airslam_tpu.backend import gn, windows
+from airslam_tpu.core.imu import ImuData, Preintegration
+from tests.synthetic import make_imu_sequence
+
+G = 9.81
+
+
+def _keyframe_preints(seq, kf_stride, noise=(1e-3, 1e-2, 1e-5, 1e-4)):
+    """Preintegrate measurement batches between keyframe samples."""
+    times = seq["times"]
+    kf_idx = np.arange(0, len(times), kf_stride)
+    preints = []
+    for a, b in zip(kf_idx[:-1], kf_idx[1:]):
+        rows = [ImuData(times[i], seq["gyr"][i], seq["acc"][i]) for i in range(a, b + 1)]
+        p = Preintegration(noise=noise)
+        p.add_batch(rows, times[a], times[b])
+        preints.append(p)
+    return kf_idx, preints
+
+
+def test_closed_form_gyro_bias_recovery():
+    bg_true = np.array([0.02, -0.015, 0.01])
+    seq = make_imu_sequence(duration=5.0, bg=bg_true)
+    kf_idx, preints = _keyframe_preints(seq, 100)  # 0.5 s keyframes
+    Rwb = seq["Rwb"][kf_idx]
+    dR = np.stack([np.asarray(p.state.dR) for p in preints])
+    JRg = np.stack([np.asarray(p.state.JRg) for p in preints])
+    dbg = np.asarray(windows.compute_gyr_bias(jnp.asarray(Rwb), jnp.asarray(dR), jnp.asarray(JRg)))
+    assert np.allclose(dbg, bg_true, atol=2e-3)
+
+
+def test_closed_form_velocity_gravity():
+    seq = make_imu_sequence(duration=5.0)
+    kf_idx, preints = _keyframe_preints(seq, 100)
+    Rwb = seq["Rwb"][kf_idx]
+    twb = seq["pos"][kf_idx]
+    dP = np.stack([np.asarray(p.state.dP) for p in preints])
+    dV = np.stack([np.asarray(p.state.dV) for p in preints])
+    dT = np.asarray([p.dT for p in preints])
+    vels, gravity = windows.compute_velocity(
+        jnp.asarray(Rwb), jnp.asarray(twb), jnp.asarray(dP), jnp.asarray(dV),
+        jnp.asarray(dT), G,
+    )
+    gravity = np.asarray(gravity)
+    assert np.linalg.norm(gravity) == pytest.approx(G, rel=0.01)
+    assert np.allclose(gravity / np.linalg.norm(gravity), [0, 0, -1], atol=0.01)
+    assert np.allclose(np.asarray(vels), seq["vel"][kf_idx], atol=0.02)
+
+
+def test_imu_initialization_gn_refines_bias_and_gravity():
+    bg_true = np.array([0.01, -0.02, 0.015])
+    ba_true = np.array([0.05, -0.03, 0.08])
+    seq = make_imu_sequence(duration=6.0, bg=bg_true, ba=ba_true)
+    kf_idx, preints = _keyframe_preints(seq, 100)
+    Rwb = seq["Rwb"][kf_idx]
+    twb = seq["pos"][kf_idx]
+
+    # closed-form gyro bias, repropagate
+    dR = np.stack([np.asarray(p.state.dR) for p in preints])
+    JRg = np.stack([np.asarray(p.state.JRg) for p in preints])
+    bg_seed = np.asarray(windows.compute_gyr_bias(jnp.asarray(Rwb), jnp.asarray(dR), jnp.asarray(JRg)))
+    for p in preints:
+        p.set_bias(bg_seed, np.zeros(3))
+
+    dP = np.stack([np.asarray(p.state.dP) for p in preints])
+    dV = np.stack([np.asarray(p.state.dV) for p in preints])
+    dT = np.asarray([p.dT for p in preints])
+    vels0, gravity = windows.compute_velocity(
+        jnp.asarray(Rwb), jnp.asarray(twb), jnp.asarray(dP), jnp.asarray(dV),
+        jnp.asarray(dT), G,
+    )
+    Rwg0 = windows.gravity_to_rwg(gravity / jnp.linalg.norm(gravity))
+
+    def stack(key):
+        return jnp.asarray(np.stack([np.asarray(getattr(p.state, key)) for p in preints]))
+
+    infos = []
+    for p in preints:
+        cov = np.asarray(p.state.cov)[:9, :9]
+        inf = np.linalg.inv(cov + 1e-12 * np.eye(9))
+        infos.append(0.5 * (inf + inf.T))
+    preint_t = dict(
+        dR=stack("dR"), dV=stack("dV"), dP=stack("dP"),
+        JRg=stack("JRg"), JVg=stack("JVg"), JVa=stack("JVa"),
+        JPg=stack("JPg"), JPa=stack("JPa"),
+        dT=jnp.asarray(dT), info=jnp.asarray(np.stack(infos)),
+    )
+    vels, bg, ba, Rwg = windows.imu_initialization(
+        jnp.asarray(Rwb), jnp.asarray(twb), vels0,
+        jnp.asarray(bg_seed), jnp.zeros(3), Rwg0,
+        preint_t, G, jnp.asarray(bg_seed), jnp.zeros(3),
+        info_prior_acc=1.0,  # weak prior: let the GN find the true acc bias
+    )
+    assert np.allclose(np.asarray(bg), bg_true, atol=2e-3)
+    assert np.allclose(np.asarray(ba), ba_true, atol=0.02)
+    # gravity direction in world stays -z (measurements were world-consistent)
+    g_est = np.asarray(Rwg) @ [0, 0, -1.0]
+    assert np.allclose(g_est, [0, 0, -1], atol=5e-3)
+    assert np.allclose(np.asarray(vels), seq["vel"][kf_idx], atol=0.02)
+
+
+def test_imu_residual_zero_at_ground_truth():
+    seq = make_imu_sequence(duration=2.0)
+    kf_idx, preints = _keyframe_preints(seq, 200)
+    from airslam_tpu.backend import residuals as res
+
+    i = 0
+    p = preints[i]
+    st = p.state
+    a, b = kf_idx[i], kf_idx[i + 1]
+    r = res.imu_residual(
+        jnp.asarray(seq["Rwb"][a]), jnp.asarray(seq["pos"][a]), jnp.asarray(seq["vel"][a]),
+        jnp.asarray(seq["Rwb"][b]), jnp.asarray(seq["pos"][b]), jnp.asarray(seq["vel"][b]),
+        jnp.zeros(3), jnp.zeros(3),
+        st.dR, st.dV, st.dP, st.JRg, st.JVg, st.JVa, st.JPg, st.JPa,
+        jnp.zeros(3), jnp.zeros(3), st.dT, jnp.eye(3), G,
+    )
+    # preintegration discretization error only (200 Hz, 1 s interval)
+    assert np.abs(np.asarray(r)).max() < 2e-3
+
+
+def test_local_ba_with_imu_factors():
+    """A window BA where vision fixes poses; IMU factors must refine the
+    (noisy) velocities toward truth."""
+    seq = make_imu_sequence(duration=3.0)
+    kf_idx, preints = _keyframe_preints(seq, 150)
+    f = len(kf_idx)
+    rng = np.random.RandomState(0)
+
+    from tests.synthetic import default_intrinsics
+
+    frames = gn.FrameStates(
+        Rwb=jnp.asarray(seq["Rwb"][kf_idx]),
+        twb=jnp.asarray(seq["pos"][kf_idx]),
+        vel=jnp.asarray(seq["vel"][kf_idx] + rng.randn(f, 3) * 0.3),
+        bg=jnp.zeros((f, 3)),
+        ba=jnp.zeros((f, 3)),
+    )
+    rows = []
+    for k, p in enumerate(preints):
+        st = p.state
+        cov = np.asarray(st.cov)
+        info9 = np.linalg.inv(cov[:9, :9] + 1e-12 * np.eye(9))
+        walk = np.zeros((6, 6))
+        walk[:3, :3] = np.linalg.inv(cov[9:12, 9:12] + 1e-9 * np.eye(3))
+        walk[3:, 3:] = np.linalg.inv(cov[12:15, 12:15] + 1e-9 * np.eye(3))
+        rows.append((k, k + 1, st, info9, walk))
+
+    imu = gn.IMUFactors(
+        idx_i=jnp.asarray([r[0] for r in rows], jnp.int32),
+        idx_j=jnp.asarray([r[1] for r in rows], jnp.int32),
+        dR=jnp.stack([r[2].dR for r in rows]),
+        dV=jnp.stack([r[2].dV for r in rows]),
+        dP=jnp.stack([r[2].dP for r in rows]),
+        JRg=jnp.stack([r[2].JRg for r in rows]),
+        JVg=jnp.stack([r[2].JVg for r in rows]),
+        JVa=jnp.stack([r[2].JVa for r in rows]),
+        JPg=jnp.stack([r[2].JPg for r in rows]),
+        JPa=jnp.stack([r[2].JPa for r in rows]),
+        bg_lin=jnp.zeros((len(rows), 3)),
+        ba_lin=jnp.zeros((len(rows), 3)),
+        dT=jnp.asarray([float(r[2].dT) for r in rows]),
+        info=jnp.asarray(np.stack([r[3] for r in rows])),
+        info_walk=jnp.asarray(np.stack([r[4] for r in rows])),
+        mask=jnp.ones(len(rows), bool),
+    )
+    P = 64
+    problem = gn.BAProblem(
+        frames=frames,
+        pose_fixed=jnp.ones(f, bool),  # vision says poses are right
+        vel_fixed=jnp.zeros(f, bool),
+        points=jnp.zeros((P, 3)), point_fixed=jnp.ones(P, bool),
+        point_obs=jnp.concatenate([jnp.zeros((P, f, 2)), -jnp.ones((P, f, 1))], axis=-1),
+        point_obs_mask=jnp.zeros((P, f), bool),
+        lines=jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]]), line_fixed=jnp.ones(1, bool),
+        line_obs=jnp.zeros((1, f, 8)), line_obs_stereo=jnp.zeros((1, f), bool),
+        line_obs_mask=jnp.zeros((1, f), bool),
+        Rwg=jnp.eye(3), gravity_free=jnp.asarray(0.0), imu=imu,
+        Rcb=jnp.eye(3), tcb=jnp.zeros(3),
+    )
+    gn.set_gravity(G)
+    out = gn.optimize(problem, default_intrinsics(), gn.BAConfig(imu_info_scale=1.0), 15, robust=False)
+    err0 = np.abs(np.asarray(frames.vel) - seq["vel"][kf_idx]).max()
+    err1 = np.abs(np.asarray(out.frames.vel) - seq["vel"][kf_idx]).max()
+    assert err1 < 0.05
+    assert err1 < err0 / 5
+
+
+def test_full_vio_pipeline():
+    """End-to-end VIO: MapBuilder with IMU batches over a rendered
+    trajectory — initialization fires, the map re-aligns to gravity, and
+    tracking continues with the IMU-predict path."""
+    from tests.test_vo_pipeline import FakeCamera, FakeMatcher, make_world, render_features
+    from airslam_tpu.pipelines.map_builder import MapBuilder, KeyframeConfig
+
+    bg_true = np.array([0.01, -0.015, 0.02])
+    seq = make_imu_sequence(duration=8.0, bg=bg_true)
+    cam = FakeCamera()
+    cam.use_imu = True
+    cam.gyr_noise, cam.acc_noise = 1e-3, 1e-2
+    cam.gyr_walk, cam.acc_walk = 1e-5, 1e-4
+    Tbc = np.eye(4)  # camera = body
+
+    builder = MapBuilder(
+        cam, detector=None, matcher=FakeMatcher(),
+        kf_config=KeyframeConfig(min_init_stereo_feature=40, max_num_match=500,
+                                 tracking_point_rate=2.0),  # keyframe every frame
+    )
+    # world points around the trajectory, in front of the camera (+z body)
+    rng = np.random.RandomState(5)
+    pts = np.stack([
+        rng.uniform(-4, 6, 600),
+        rng.uniform(-3, 3, 600),
+        rng.uniform(3, 11, 600),
+    ], axis=-1)
+    desc = rng.randn(600, 256).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+
+    frame_stride = 40  # 5 Hz keyframes at 200 Hz IMU
+    times = seq["times"]
+    imu_rows = [ImuData(times[i], seq["gyr"][i], seq["acc"][i]) for i in range(len(times))]
+    last_i = 0
+    n_frames = 0
+    for i in range(0, len(times), frame_stride):
+        Twb = np.eye(4)
+        Twb[:3, :3] = seq["Rwb"][i]
+        Twb[:3, 3] = seq["pos"][i]
+        Twc = Twb @ Tbc
+        fl, fr, pairs = render_features(pts, desc, Twc, cam, rng)
+        batch = imu_rows[max(last_i - 1, 0): i + 2]
+        builder.track_features(times[i], fl, fr, pairs, imu_batch=batch if n_frames else None)
+        last_i = i
+        n_frames += 1
+
+    m = builder.map
+    assert m.imu_initialized, "IMU initialization did not fire"
+    # map gravity frame: Rwg reset to identity after alignment
+    assert np.allclose(m.Rwg, np.eye(3))
+    # recovered gyro bias close to truth
+    some_kf = m.keyframes[m.keyframe_ids[-1]]
+    assert np.allclose(some_kf.bg, bg_true, atol=5e-3)
+    # velocity magnitude plausible (true speeds are ~0.2-0.7 m/s)
+    speeds = [np.linalg.norm(m.keyframes[f].velocity) for f in m.keyframe_ids[-5:]]
+    assert all(s < 2.0 for s in speeds)
+    # relative translation between consecutive keyframes preserved vs truth
+    ids = m.keyframe_ids[-4:]
+    for a, b in zip(ids[:-1], ids[1:]):
+        d_est = np.linalg.norm(m.keyframes[b].Twc[:3, 3] - m.keyframes[a].Twc[:3, 3])
+        ta = m.keyframes[a].timestamp
+        tb = m.keyframes[b].timestamp
+        ia = int(round(ta / (times[1] - times[0])))
+        ib = int(round(tb / (times[1] - times[0])))
+        d_gt = np.linalg.norm(seq["pos"][ib] - seq["pos"][ia])
+        assert abs(d_est - d_gt) < 0.05
