@@ -145,6 +145,20 @@ def _detect_single(
     )
 
 
+def detect_batch(plnet_out, sp_out, cfg: DetectorConfig, w_scale, h_scale,
+                 detect_junctions, loi_apply, loi_params):
+    """vmap the fixed-shape decode over the batch (e.g. both stereo views run
+    in parallel instead of serial per-view decoding)."""
+
+    def one(pl_i, sp_i):
+        return _detect_single(pl_i, sp_i, cfg, w_scale, h_scale,
+                              detect_junctions, loi_apply, loi_params)
+
+    if sp_out is None:
+        return jax.vmap(lambda p: one(p, None))(plnet_out)
+    return jax.vmap(one)(plnet_out, sp_out)
+
+
 class FeatureDetector:
     """Host wrapper owning parameters and the jitted detection programs.
 
@@ -196,21 +210,8 @@ class FeatureDetector:
                 )
             pl_out = plnet_apply(params["plnet"], x)
             sp_out = sp_apply(params["superpoint"], x) if sp_apply else None
-
-            def one(i):
-                pl_i = jax.tree_util.tree_map(lambda t: t[i], pl_out)
-                sp_i = (
-                    jax.tree_util.tree_map(lambda t: t[i], sp_out)
-                    if sp_out is not None
-                    else None
-                )
-                return _detect_single(
-                    pl_i, sp_i, cfg, w_scale, h_scale, detect_junctions,
-                    loi_apply, params["loi"],
-                )
-
-            feats = [one(i) for i in range(batch)]
-            return jax.tree_util.tree_map(lambda *ts: jnp.stack(ts), *feats)
+            return detect_batch(pl_out, sp_out, cfg, w_scale, h_scale,
+                                detect_junctions, loi_apply, params["loi"])
 
         return run
 

@@ -171,6 +171,19 @@ def triangulate_two_views(line2d_1, Twc1_R, Twc1_t, line2d_2, Twc2_R, Twc2_t, in
     return lie.line_normalize(line_w), degenerate
 
 
+def point_2d_to_3d(anchor_3d1, anchor_3d2, anchor_2d1, anchor_2d2, p2d):
+    """Linear interpolation of a 2D point between two anchor correspondences
+    onto the 3D segment (``Point2DTo3D``, line_processor.cc:328-338): uses the
+    dominant image axis of the anchor segment for the interpolation ratio."""
+    d2d = anchor_2d2 - anchor_2d1
+    use_x = jnp.abs(d2d[..., 0]) > jnp.abs(d2d[..., 1])
+    md = jnp.where(use_x, 0, 1)
+    num = jnp.take_along_axis(p2d - anchor_2d1, md[..., None], axis=-1)[..., 0]
+    den = jnp.take_along_axis(d2d, md[..., None], axis=-1)[..., 0]
+    rate = num / jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    return anchor_3d1 + rate[..., None] * (anchor_3d2 - anchor_3d1)
+
+
 def endpoint_trim(line3d_w, obs_lines_2d, Rcw, tcw, intr):
     """Project 2D endpoint observations onto a 3D line to get world endpoints
     (the role of ``Point2DTo3D``/endpoint maintenance, map.cc:192-340):

@@ -24,8 +24,24 @@ class Keypoints(NamedTuple):
     mask: jax.Array  # (K,) bool
 
 
+def top_k(scores: jax.Array, k: int, exact: bool = False):
+    """Top-k over a flat score vector. On TPU the exact ``lax.top_k`` is a
+    full sort (milliseconds at 512²); ``approx_max_k`` uses the native
+    PartialReduce unit (recall ≥ 0.99 per bucket) — the few candidates it may
+    swap are the lowest-scoring tail, which the SLAM layers treat identically.
+    Set ``exact=True`` for bit-exact reference semantics."""
+    if exact:
+        return jax.lax.top_k(scores, k)
+    if not jnp.issubdtype(scores.dtype, jnp.floating):
+        # approx_max_k is float-only; int scores below 2^24 round-trip exactly
+        vals, idx = jax.lax.approx_max_k(scores.astype(jnp.float32), k, recall_target=0.99)
+        return vals.astype(scores.dtype), idx.astype(jnp.int32)
+    vals, idx = jax.lax.approx_max_k(scores, k, recall_target=0.99)
+    return vals, idx.astype(jnp.int32)
+
+
 def topk_keypoints(
-    heat: jax.Array, threshold: float, border: int, k: int
+    heat: jax.Array, threshold: float, border: int, k: int, exact: bool = False
 ) -> Keypoints:
     """Select top-k scoring pixels above ``threshold`` outside the border.
 
@@ -44,7 +60,7 @@ def topk_keypoints(
         & (ys <= h - border)
     )
     masked = jnp.where(keep, heat, jnp.zeros_like(heat))
-    scores, idx = jax.lax.top_k(masked.reshape(-1), k)
+    scores, idx = top_k(masked.reshape(-1), k, exact)
     x = (idx % w).astype(heat.dtype)
     y = (idx // w).astype(heat.dtype)
     valid = scores > 0

@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from airslam_tpu.ops.detect import simple_nms
+from airslam_tpu.ops.detect import simple_nms, top_k
 
 
 class Junctions(NamedTuple):
@@ -36,12 +36,13 @@ class LineCandidates(NamedTuple):
     mask: jax.Array  # (L,)
 
 
-def decode_junctions(junc_heat: jax.Array, junc_offset: jax.Array, k: int) -> Junctions:
+def decode_junctions(junc_heat: jax.Array, junc_offset: jax.Array, k: int,
+                     exact: bool = False) -> Junctions:
     """Top-k junctions from the stride-4 heatmap with sub-cell offsets
     (produces the ``juncs_pred`` (300, 2) tensor of plnet.cpp:468)."""
     h, w = junc_heat.shape
     nmsed = simple_nms(junc_heat, 1)
-    score, idx = jax.lax.top_k(nmsed.reshape(-1), k)
+    score, idx = top_k(nmsed.reshape(-1), k, exact)
     ys = (idx // w).astype(jnp.float32)
     xs = (idx % w).astype(jnp.float32)
     off = junc_offset.reshape(h * w, 2)[idx]
@@ -97,7 +98,8 @@ def dedup_pairs(
     slot = slot.at[key].min(jnp.where(keep, order, p))
     # top-max_lines smallest first-occurrence orders = the reference's
     # unique-id ordering truncated to a static budget.
-    neg_order, uniq_key = jax.lax.top_k(-slot, max_lines)
+    neg_order, uniq_key = top_k(-slot, max_lines)
+    uniq_key = uniq_key.astype(jnp.int32)
     valid = -neg_order < p
     pair_min = (uniq_key // num_junctions).astype(jnp.int32)
     pair_max = (uniq_key % num_junctions).astype(jnp.int32)
@@ -177,7 +179,7 @@ def collect_junction_keypoints(
     flat_idx = jnp.clip(exy[:, 1], 0, h - 1) * w + jnp.clip(exy[:, 0], 0, w - 1)
     marked = jnp.zeros((h * w,), jnp.bool_).at[flat_idx].max(evalid)
     junc_scores = jnp.where(marked, heat.reshape(-1), jnp.full((h * w,), -1.0, heat.dtype))
-    score, idx = jax.lax.top_k(junc_scores, max_junctions)
+    score, idx = top_k(junc_scores, max_junctions)
     xs = (idx % w).astype(jnp.float32)
     ys = (idx // w).astype(jnp.float32)
     mask = score > -1.0

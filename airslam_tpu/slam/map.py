@@ -714,6 +714,63 @@ class Map:
             for fid in self.keyframe_ids
         ]
 
+    def update_mappoint_descriptor(self, mpt: Mappoint) -> bool:
+        """Representative descriptor = the observation with least median
+        distance to the others (``Map::UpdateMappointDescriptor``,
+        map.cc:506-554), vectorized over the observer set."""
+        descs = []
+        for fid, idx in mpt.observers.items():
+            kf = self.keyframes.get(fid)
+            if kf is not None and idx >= 0:
+                descs.append(kf.kp_desc[idx])
+        if not descs:
+            return False
+        if len(descs) <= 2:
+            mpt.descriptor = np.asarray(descs[0]).copy()
+            return True
+        d = np.stack(descs)
+        dist = 1.0 - d @ d.T  # DescriptorDistance, utils.cc:15-17
+        medians = np.median(dist, axis=1)
+        mpt.descriptor = d[int(np.argmin(medians))].copy()
+        return True
+
+    def search_by_projection(self, frame: Frame, mpts, thr: int = 1,
+                             dist_thr: float = 0.35, ratio_thr: float = 0.6):
+        """Projection-guided match search (``Map::SearchByProjection``,
+        map.cc:945-998): project each valid mappoint into the frame, find
+        keypoints within r = 15·thr px (native radius search), accept the
+        best descriptor match under the distance + Lowe-ratio gates.
+        Returns [(keypoint_idx, mappoint)]."""
+        from airslam_tpu.utils import native
+
+        cam = self.camera
+        Rwc = frame.Twc[:3, :3]
+        twc = frame.Twc[:3, 3]
+        r = 15.0 * thr
+        good = []
+        kp32 = frame.keypoints.astype(np.float32)
+        mask8 = frame.kp_mask
+        for mpt in mpts:
+            if mpt is None or not mpt.is_valid or mpt.descriptor is None:
+                continue
+            pc = Rwc.T @ (mpt.position - twc)
+            if pc[2] <= 0:
+                continue
+            u = pc[0] / pc[2] * cam.fx + cam.cx
+            v = pc[1] / pc[2] * cam.fy + cam.cy
+            if not (0 < u < cam.image_width and 0 < v < cam.image_height):
+                continue
+            cand = native.radius_search(kp32, mask8, float(u), float(v), r)
+            if len(cand) == 0:
+                continue
+            dists = native.descriptor_distances(mpt.descriptor, frame.kp_desc[cand])
+            order = np.argsort(dists)
+            best = float(dists[order[0]])
+            second = float(dists[order[1]]) if len(order) > 1 else 4.0
+            if best < dist_thr and best < ratio_thr * second:
+                good.append((int(cand[order[0]]), mpt))
+        return good
+
     def export_text(self, map_root: str):
         """Plain-text map dump (``Map::SaveMap``, map.cc:1227-1278):
         frames/<id>.txt with pose + per-feature (track_id, score, x, y,

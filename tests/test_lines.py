@@ -135,3 +135,13 @@ def test_endpoint_trim():
     ends = lp.endpoint_trim(line_w, obs, jnp.eye(3), jnp.zeros(3), intr)
     assert np.allclose(np.asarray(ends[0:3]), p1, atol=1e-6)
     assert np.allclose(np.asarray(ends[3:6]), p2, atol=1e-6)
+
+
+def test_point_2d_to_3d():
+    a3d1 = jnp.asarray([0.0, 0.0, 4.0])
+    a3d2 = jnp.asarray([2.0, 0.0, 6.0])
+    a2d1 = jnp.asarray([100.0, 200.0])
+    a2d2 = jnp.asarray([300.0, 210.0])  # x-dominant
+    p2d = jnp.asarray([200.0, 205.0])  # halfway in x
+    p3d = lp.point_2d_to_3d(a3d1, a3d2, a2d1, a2d2, p2d)
+    assert np.allclose(np.asarray(p3d), [1.0, 0.0, 5.0])

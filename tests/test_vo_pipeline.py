@@ -208,3 +208,47 @@ def test_vo_tum_export(vo_result, tmp_path):
     assert len(loaded) == len(builder.trajectory)
     rmse = ate_rmse(loaded, builder.trajectory, align=False)
     assert rmse < 1e-6
+
+
+def test_map_utilities(vo_result, tmp_path):
+    """Descriptor update, projection search, text export, map scale."""
+    builder, _ = vo_result
+    m = builder.map
+
+    # best-median descriptor update
+    mpt = next(p for p in m.mappoints.values() if p.is_valid and len(p.observers) >= 3)
+    old = mpt.descriptor.copy()
+    assert m.update_mappoint_descriptor(mpt)
+    assert mpt.descriptor.shape == (256,)
+
+    # projection search finds the mappoint's own keypoint in its observer frame
+    fid = next(iter(mpt.observers))
+    kf = m.keyframes[fid]
+    good = m.search_by_projection(kf, [mpt], thr=1)
+    assert len(good) == 1
+    assert good[0][0] == mpt.observers[fid]
+
+    # text export
+    import os
+    root = str(tmp_path / "textmap")
+    os.makedirs(root, exist_ok=True)
+    m.export_text(root)
+    assert os.path.exists(os.path.join(root, "mappoints.txt"))
+    frames = os.listdir(os.path.join(root, "frames"))
+    assert len(frames) == len(m.keyframes)
+
+    # map scale positive and plausible
+    s = m.map_scale()
+    assert 0.5 < s < 100
+
+
+def test_validate_printers(vo_result, capsys):
+    from airslam_tpu.backend import validate
+    from tests.synthetic import make_point_scene, build_problem
+
+    scene = make_point_scene(f=2, p=20)
+    prob = build_problem(scene)
+    stats = validate.validate_reprojection(prob, scene["intr"], "test")
+    assert stats["point_chi2_max"] < 1e-10
+    out = capsys.readouterr().out
+    assert "validate:test" in out
