@@ -32,6 +32,7 @@ class MatcherConfig:
     image_width: int = 752
     image_height: int = 480
     max_keypoints: int = 512  # static token budget (engine profile ≤1024)
+    sinkhorn_iterations: int = 0  # SuperGlue OT (reference ships it disabled)
     dtype: Any = jnp.float32
 
 
@@ -43,7 +44,8 @@ class PointMatcher:
             self.threshold = 0.1
             self.norm_scale = 0.5
         else:
-            self.model = SuperGlue(dtype=config.dtype)
+            self.model = SuperGlue(dtype=config.dtype,
+                                   sinkhorn_iterations=config.sinkhorn_iterations)
             self.threshold = 0.2
             self.norm_scale = 0.7
         if params is None:

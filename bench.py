@@ -5,9 +5,14 @@ VO runs at 73 Hz on a desktop GPU (README.md:33); the driver target for the
 TPU rebuild is ≥200 Hz frontend per v5e chip. ``vs_baseline`` reports
 value / 73.0 (the reference's published full-system number).
 
-The measured program is ONE fused XLA step per frame: resize → PLNet (both
-stereo views as a batch of 2) → wireframe + keypoint decode → LightGlue →
-match decode, with no host round trips inside the frame.
+Methodology: the frame loop runs INSIDE one jitted ``lax.scan`` with a data
+dependency between frames, so per-frame work can be neither batched, elided,
+nor hidden by the host↔device transport; the result is fetched to the host
+each invocation (genuine synchronization). The per-frame time is the
+DIFFERENCED slope between a T=4 and a T=64 scan, which cancels the fixed
+per-invocation dispatch/fetch overhead of this container's remote-TPU tunnel
+(~40 ms — transport artifact, not per-frame work; dispatch-level timing on
+this tunnel reports fantasy numbers in both directions).
 """
 
 import json
@@ -27,36 +32,43 @@ def main():
     from __graft_entry__ import entry
 
     fn, args = entry()
-    step = jax.jit(fn)
+    plp, loip, lgp, _ = args
 
-    # Distinct random frames each iteration (no dedupe/caching possible);
-    # executions chain asynchronously like a double-buffered SLAM host loop
-    # (frame t+1 dispatched while t completes) and we block on ALL outputs at
-    # the end — throughput of the compiled program itself, not of this
-    # container's host↔device tunnel (whose device→host pulls are
-    # pathologically slow and not representative of production I/O).
+    @jax.jit
+    def run_frames(plp, loip, lgp, frames, seed):
+        def body(c, pair):
+            out = fn(plp, loip, lgp, pair + c * 1e-9)
+            c2 = (
+                jnp.sum(out[3].astype(jnp.float32))
+                + jnp.sum(out[0].astype(jnp.float32)) * 1e-9
+            )
+            return c2.astype(jnp.float32), None
+        c, _ = jax.lax.scan(body, seed, frames)
+        return c
+
     rng = np.random.RandomState(0)
-    pairs = [jnp.asarray(rng.rand(2, 480, 752).astype(np.float32)) for _ in range(8)]
+    best = {}
+    for T in (4, 64):
+        frames = jnp.asarray(rng.rand(T, 2, 480, 752).astype(np.float32))
+        c = run_frames(plp, loip, lgp, frames, jnp.asarray(0.0, jnp.float32))
+        _ = float(np.asarray(c))  # compile + warmup, genuine sync
+        times = []
+        for rep in range(3):
+            seed = jnp.asarray(1e-5 * (rep + 1), jnp.float32)
+            t0 = time.perf_counter()
+            c = run_frames(plp, loip, lgp, frames, seed)
+            _ = float(np.asarray(c))
+            times.append(time.perf_counter() - t0)
+        best[T] = min(times)
 
-    # warmup / compile
-    out = step(*args[:-1], pairs[0])
-    jax.block_until_ready(out)
-
-    n_iters = 50
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(n_iters):
-        outs.append(step(*args[:-1], pairs[i % 8])[2])
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-
-    hz = n_iters / dt
+    dt = (best[64] - best[4]) / 60.0
+    hz = 1.0 / dt
     print(
         json.dumps(
             {
                 "metric": "stereo_frontend_hz_per_chip",
                 "value": round(hz, 2),
-                "unit": "Hz @752x480 (detect 2 views + match, fused)",
+                "unit": "Hz @752x480 (detect 2 views + match, fused, in-graph sequential)",
                 "vs_baseline": round(hz / REFERENCE_HZ, 3),
             }
         )

@@ -77,3 +77,43 @@ def test_ate_alignment():
         est.append((t, T2))
     assert ate_rmse(est, gt, align=True) < 1e-9
     assert ate_rmse(est, gt, align=False) > 1.0
+
+
+def test_asl_dataset_loader(tmp_path):
+    """ASL layout: cam0/data, cam1/data, imu0/data.csv (dataset.cc:8-64)."""
+    import cv2
+    from airslam_tpu.io.dataset import Dataset
+
+    root = tmp_path / "mav0"
+    for cam in ["cam0", "cam1"]:
+        (root / cam / "data").mkdir(parents=True)
+    (root / "imu0").mkdir(parents=True)
+
+    t0 = 1403636579000000000
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        img = (rng.rand(48, 64) * 255).astype(np.uint8)
+        for cam in ["cam0", "cam1"]:
+            cv2.imwrite(str(root / cam / "data" / f"{t0 + i * 50_000_000}.png"), img)
+
+    # IMU at 200 Hz covering frames 1..3 only (frame 0 outside IMU range)
+    with open(root / "imu0" / "data.csv", "w") as f:
+        f.write("#timestamp,wx,wy,wz,ax,ay,az\n")
+        start = t0 + 30_000_000
+        for k in range(60):
+            ts = start + k * 5_000_000
+            f.write(f"{ts},0.01,0.02,0.03,0.1,0.2,9.8\n")
+
+    ds = Dataset(str(root), use_imu=True)
+    # frame 0 dropped (before IMU range)
+    assert len(ds) == 3
+    ts, left, right, batch = ds.get(1)
+    assert left.shape == (48, 64) and left.dtype == np.float32
+    assert 0.0 <= left.min() and left.max() <= 1.0
+    # the batch spans [previous frame, this frame]
+    assert len(batch) > 5
+    assert batch[0].timestamp <= ds.timestamps[0] + 0.01
+    assert batch[-1].timestamp >= ds.timestamps[1] - 0.01
+
+    ds2 = Dataset(str(root), use_imu=False)
+    assert len(ds2) == 4
