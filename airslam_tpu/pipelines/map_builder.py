@@ -332,10 +332,12 @@ class MapBuilder:
         if not matched:
             return 0, []
 
-        # build the pose-only problem
-        from tests import synthetic  # noqa — not used; placeholder guard
-
-        return self._pose_only(cur, matched)
+        use_imu_factor = (
+            self.map.imu_initialized
+            and self.preintegration is not None
+            and self.preintegration.valid()
+        )
+        return self._pose_only(cur, matched, ref if use_imu_factor else None)
 
     def _solve_pnp(self, cur: Frame, matched):
         """cv::solvePnPRansac wrapper (g2o_optimization.cc:1085-1134):
@@ -362,44 +364,69 @@ class MapBuilder:
         Twc[:3, 3] = -Rcw.T @ tvec[:, 0]
         return Twc, 0 if inl is None else len(inl)
 
-    def _pose_only(self, cur: Frame, matched):
-        """Pose-only GN via the batched backend (FrameOptimization equiv)."""
+    def _pose_only(self, cur: Frame, matched, imu_ref: Optional[Frame] = None):
+        """Pose-only GN via the batched backend (FrameOptimization equiv).
+        When ``imu_ref`` is given, the problem includes the IMU factor to the
+        last keyframe with that frame's states fixed (map_builder.cc:320-395):
+        F=2 with frame 0 = fixed reference, frame 1 = current (pose, velocity
+        and bias free)."""
         from airslam_tpu.backend import gn as _gn, windows as _w
 
+        f = 2 if imu_ref is not None else 1
+        cur_col = f - 1
         p = len(matched)
         P = max(64, 1 << (p - 1).bit_length())
         points = np.zeros((P, 3))
-        obs = np.zeros((P, 1, 3))
+        obs = np.zeros((P, f, 3))
         obs[..., 2] = -1.0
-        mask = np.zeros((P, 1), bool)
+        mask = np.zeros((P, f), bool)
         for j, (i, mpt) in enumerate(matched):
             points[j] = mpt.position
-            obs[j, 0] = cur.keypoint_position(i)
-            mask[j, 0] = True
+            obs[j, cur_col] = cur.keypoint_position(i)
+            mask[j, cur_col] = True
 
         Tcb = self.camera.Tcb
         Twb = cur.Twc @ Tcb
+        Rwb_l = [Twb[:3, :3]]
+        twb_l = [Twb[:3, 3]]
+        vel_l = [cur.velocity]
+        bg_l = [cur.bg]
+        ba_l = [cur.ba]
+        if imu_ref is not None:
+            Twb0 = imu_ref.imu_pose(Tcb)
+            Rwb_l.insert(0, Twb0[:3, :3])
+            twb_l.insert(0, Twb0[:3, 3])
+            vel_l.insert(0, imu_ref.velocity)
+            bg_l.insert(0, imu_ref.bg)
+            ba_l.insert(0, imu_ref.ba)
         fstates = _gn.FrameStates(
-            Rwb=jnp.asarray(Twb[None, :3, :3]), twb=jnp.asarray(Twb[None, :3, 3]),
-            vel=jnp.asarray(cur.velocity[None]), bg=jnp.asarray(cur.bg[None]),
-            ba=jnp.asarray(cur.ba[None]),
+            Rwb=jnp.asarray(np.stack(Rwb_l)), twb=jnp.asarray(np.stack(twb_l)),
+            vel=jnp.asarray(np.stack(vel_l)), bg=jnp.asarray(np.stack(bg_l)),
+            ba=jnp.asarray(np.stack(ba_l)),
         )
+        pose_fixed = np.zeros(f, bool)
+        vel_fixed = np.ones(f, bool)
+        imu_factors = None
+        if imu_ref is not None:
+            pose_fixed[0] = True
+            vel_fixed[1] = False
+            imu_factors = self._tracking_imu_factor()
         problem = _gn.BAProblem(
             frames=fstates,
-            pose_fixed=jnp.zeros(1, bool),
-            vel_fixed=jnp.ones(1, bool),
+            pose_fixed=jnp.asarray(pose_fixed),
+            vel_fixed=jnp.asarray(vel_fixed),
             points=jnp.asarray(points),
             point_fixed=jnp.ones(P, bool),
             point_obs=jnp.asarray(obs),
             point_obs_mask=jnp.asarray(mask),
             lines=jnp.asarray(np.tile([1.0, 0, 0, 0, 1.0, 0], (1, 1))),
             line_fixed=jnp.ones(1, bool),
-            line_obs=jnp.zeros((1, 1, 8)),
-            line_obs_stereo=jnp.zeros((1, 1), bool),
-            line_obs_mask=jnp.zeros((1, 1), bool),
+            line_obs=jnp.zeros((1, f, 8)),
+            line_obs_stereo=jnp.zeros((1, f), bool),
+            line_obs_mask=jnp.zeros((1, f), bool),
             Rwg=jnp.asarray(self.map.Rwg),
             gravity_free=jnp.asarray(0.0),
-            imu=None,
+            imu=imu_factors,
             Rcb=jnp.asarray(Tcb[:3, :3]),
             tcb=jnp.asarray(Tcb[:3, 3]),
         )
@@ -407,12 +434,46 @@ class MapBuilder:
         n_in = int(n_in)
         if n_in > self.kf_config.lost_num_match:
             Twb_new = np.eye(4)
-            Twb_new[:3, :3] = np.asarray(out.frames.Rwb[0])
-            Twb_new[:3, 3] = np.asarray(out.frames.twb[0])
+            Twb_new[:3, :3] = np.asarray(out.frames.Rwb[cur_col])
+            Twb_new[:3, 3] = np.asarray(out.frames.twb[cur_col])
             cur.Twc = Twb_new @ np.linalg.inv(Tcb)
-        p_in = np.asarray(p_in)[:, 0]
+            if imu_ref is not None:
+                cur.velocity = np.asarray(out.frames.vel[cur_col])
+                cur.bg = np.asarray(out.frames.bg[cur_col])
+                cur.ba = np.asarray(out.frames.ba[cur_col])
+        p_in = np.asarray(p_in)[:, cur_col]
         flags = [(i, bool(p_in[j])) for j, (i, _) in enumerate(matched)]
         return n_in, flags
+
+    def _tracking_imu_factor(self):
+        """IMUFactors pytree (K=1, frames 0→1) from the live preintegration."""
+        from airslam_tpu.backend import gn as _gn
+
+        pre = self.preintegration
+        st = pre.state
+        cov = np.asarray(st.cov)
+        info9 = np.linalg.inv(cov[:9, :9] + 1e-12 * np.eye(9))
+        info9 = 0.5 * (info9 + info9.T)
+        w, v = np.linalg.eigh(info9)
+        info9 = v @ np.diag(np.clip(w, 0, None)) @ v.T
+        walk = np.zeros((6, 6))
+        walk[:3, :3] = np.linalg.inv(cov[9:12, 9:12] + 1e-12 * np.eye(3))
+        walk[3:, 3:] = np.linalg.inv(cov[12:15, 12:15] + 1e-12 * np.eye(3))
+        return _gn.IMUFactors(
+            idx_i=jnp.asarray([0], jnp.int32), idx_j=jnp.asarray([1], jnp.int32),
+            dR=jnp.asarray(np.asarray(st.dR)[None]),
+            dV=jnp.asarray(np.asarray(st.dV)[None]),
+            dP=jnp.asarray(np.asarray(st.dP)[None]),
+            JRg=jnp.asarray(np.asarray(st.JRg)[None]),
+            JVg=jnp.asarray(np.asarray(st.JVg)[None]),
+            JVa=jnp.asarray(np.asarray(st.JVa)[None]),
+            JPg=jnp.asarray(np.asarray(st.JPg)[None]),
+            JPa=jnp.asarray(np.asarray(st.JPa)[None]),
+            bg_lin=jnp.asarray(pre.bg[None]), ba_lin=jnp.asarray(pre.ba[None]),
+            dT=jnp.asarray([float(st.dT)]),
+            info=jnp.asarray(info9[None]), info_walk=jnp.asarray(walk[None]),
+            mask=jnp.ones(1, bool),
+        )
 
     # -- keyframe policy (map_builder.cc:429-466) ---------------------------
 
