@@ -1,0 +1,127 @@
+"""Minimal ONNX weight extraction (no ``onnx`` package required).
+
+The reference's models ship as ONNX graphs (``plnet_s0.onnx``/
+``plnet_s1.onnx``/``superpoint*.onnx``/``superpoint_lightglue.onnx``,
+read_configs.h:41-42, configs/visual_odometry/vo_euroc.yaml:12). This module
+parses the protobuf wire format directly and returns the graph's initializer
+tensors (the trained weights) plus a node-op summary — the raw material for
+mapping upstream checkpoints onto the flax modules in
+``airslam_tpu.models`` via ``weights.save_params``.
+
+Wire-format subset (onnx.proto3):
+  ModelProto.graph        = field 7  (LEN)
+  GraphProto.node         = field 1  (LEN, repeated NodeProto)
+  GraphProto.initializer  = field 5  (LEN, repeated TensorProto)
+  NodeProto.op_type       = field 4  (LEN, string)
+  TensorProto.dims        = field 1  (varint, repeated)
+  TensorProto.data_type   = field 2  (varint; 1=float32, 7=int64, 11=float64)
+  TensorProto.float_data  = field 4  (packed floats)
+  TensorProto.name        = field 8  (LEN, string)
+  TensorProto.raw_data    = field 9  (LEN, bytes)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+_DTYPES = {1: np.float32, 6: np.int32, 7: np.int64, 9: np.bool_, 11: np.float64,
+           10: np.float16}
+
+
+def _read_varint(buf: bytes, i: int) -> Tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, i
+        shift += 7
+
+
+def _fields(buf: bytes):
+    """Yield (field_number, wire_type, value) over a message buffer."""
+    i = 0
+    n = len(buf)
+    while i < n:
+        key, i = _read_varint(buf, i)
+        field, wt = key >> 3, key & 7
+        if wt == 0:  # varint
+            val, i = _read_varint(buf, i)
+        elif wt == 2:  # length-delimited
+            ln, i = _read_varint(buf, i)
+            val = buf[i: i + ln]
+            i += ln
+        elif wt == 5:  # 32-bit
+            val = buf[i: i + 4]
+            i += 4
+        elif wt == 1:  # 64-bit
+            val = buf[i: i + 8]
+            i += 8
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field, wt, val
+
+
+def _parse_tensor(buf: bytes):
+    dims: List[int] = []
+    dtype = 1
+    name = ""
+    raw = b""
+    floats: List[float] = []
+    for field, wt, val in _fields(buf):
+        if field == 1:
+            if wt == 0:
+                dims.append(val)
+            else:  # packed
+                i = 0
+                while i < len(val):
+                    v, i = _read_varint(val, i)
+                    dims.append(v)
+        elif field == 2 and wt == 0:
+            dtype = val
+        elif field == 4 and wt == 2:
+            floats.extend(np.frombuffer(val, np.float32).tolist())
+        elif field == 8 and wt == 2:
+            name = val.decode("utf-8", "replace")
+        elif field == 9 and wt == 2:
+            raw = val
+    np_dtype = _DTYPES.get(dtype, np.float32)
+    if raw:
+        arr = np.frombuffer(raw, np_dtype)
+    elif floats:
+        arr = np.asarray(floats, np.float32)
+    else:
+        arr = np.zeros(0, np_dtype)
+    if dims:
+        arr = arr.reshape(dims)
+    return name, arr
+
+
+def load_onnx(path: str):
+    """Returns (weights {name: ndarray}, op_counts {op_type: count})."""
+    with open(path, "rb") as f:
+        model = f.read()
+    graph = None
+    for field, wt, val in _fields(model):
+        if field == 7 and wt == 2:
+            graph = val
+            break
+    if graph is None:
+        raise ValueError("no GraphProto in model")
+
+    weights: Dict[str, np.ndarray] = {}
+    ops: Dict[str, int] = {}
+    for field, wt, val in _fields(graph):
+        if field == 5 and wt == 2:
+            name, arr = _parse_tensor(val)
+            weights[name] = arr
+        elif field == 1 and wt == 2:
+            for f2, w2, v2 in _fields(val):
+                if f2 == 4 and w2 == 2:
+                    op = v2.decode("utf-8", "replace")
+                    ops[op] = ops.get(op, 0) + 1
+    return weights, ops

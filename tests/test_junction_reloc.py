@@ -1,0 +1,126 @@
+"""Junction structure-graph relocalization: frames carry junction features
+(line endpoints) so the junction vocabulary/database, the junction-connection
+graphs and the structure re-ranking score all run end-to-end."""
+
+import numpy as np
+import pytest
+
+from airslam_tpu.frontend.detector import FrameFeatures
+from airslam_tpu.loopclosure.vocabulary import train_vocabulary
+from airslam_tpu.loopclosure.database import Database
+from airslam_tpu.pipelines.map_builder import MapBuilder, KeyframeConfig
+from airslam_tpu.pipelines.map_refiner import MapRefiner
+from airslam_tpu.pipelines.map_user import MapUser, junction_connections
+from airslam_tpu.slam.frame import Frame
+from tests.test_vo_pipeline import FakeCamera, FakeMatcher
+from tests.test_vo_lines import make_line_world, render, K_BUDGET, L_BUDGET
+
+J_BUDGET = 16
+
+
+def add_junctions(feats, junc_desc_bank, segments, Twc, cam):
+    """Attach junction features at visible line endpoints (2 per segment,
+    consistent descriptors from a per-world bank)."""
+    Rwc, twc = Twc[:3, :3], Twc[:3, 3]
+    jxy = np.zeros((J_BUDGET, 2), np.float32)
+    jdesc = np.zeros((J_BUDGET, 256), np.float32)
+    jmask = np.zeros(J_BUDGET, bool)
+    k = 0
+    for si, (a, b) in enumerate(segments):
+        for ei, p in enumerate((a, b)):
+            if k >= J_BUDGET:
+                break
+            pc = Rwc.T @ (p - twc)
+            if pc[2] <= 0.5:
+                continue
+            u = pc[0] / pc[2] * cam.fx + cam.cx
+            v = pc[1] / pc[2] * cam.fy + cam.cy
+            if not (5 <= u < 747 and 5 <= v < 475):
+                continue
+            jxy[k] = [u, v]
+            jdesc[k] = junc_desc_bank[2 * si + ei]
+            jmask[k] = True
+            k += 1
+    return feats._replace(
+        junctions=jxy, junc_scores=jmask.astype(np.float32),
+        junc_desc=jdesc, junc_mask=jmask,
+    )
+
+
+@pytest.fixture(scope="module")
+def junction_map():
+    cam = FakeCamera()
+    builder = MapBuilder(
+        cam, detector=None, matcher=FakeMatcher(),
+        kf_config=KeyframeConfig(min_init_stereo_feature=50, max_num_match=500,
+                                 tracking_point_rate=2.0),
+    )
+    segments, pts, desc, _ = make_line_world(seed=3)
+    rng = np.random.RandomState(9)
+    jbank = rng.randn(2 * len(segments), 256).astype(np.float32)
+    jbank /= np.linalg.norm(jbank, axis=1, keepdims=True)
+    frames = []
+    for i in range(8):
+        T = np.eye(4)
+        T[:3, 3] = [0.04 * i, 0.01 * i, 0.08 * i]
+        fl, fr, pairs = render(segments, pts, desc, T, cam)
+        fl = add_junctions(fl, jbank, segments, T, cam)
+        builder.track_features(i * 0.1, fl, fr, pairs)
+        frames.append((T, fl))
+
+    m = builder.map
+    all_desc = np.concatenate(
+        [m.keyframes[f].kp_desc[m.keyframes[f].kp_mask] for f in m.keyframe_ids]
+    )
+    voc = train_vocabulary(all_desc[::2], k=6, depth=3, seed=2)
+    refiner = MapRefiner(m, FakeMatcher(), voc)
+    refiner.run(pose_graph_min_mappoints=10**9)
+    return builder, refiner, segments, jbank, frames
+
+
+def test_junction_database_built(junction_map):
+    _, refiner, _, _, _ = junction_map
+    assert refiner.junction_database is not None
+    m = refiner.map
+    kf = m.keyframes[m.keyframe_ids[0]]
+    assert kf.junction_bow_vector is not None
+
+
+def test_junction_connections_graph(junction_map):
+    builder, _, segments, _, _ = junction_map
+    m = builder.map
+    kf = m.keyframes[m.keyframe_ids[0]]
+    conns = junction_connections(kf.junctions, kf.junc_mask, kf.lines, kf.line_mask)
+    # endpoints of the same segment are connected
+    n_edges = sum(len(c) for c in conns) // 2
+    assert n_edges >= 3
+
+
+def test_relocalization_with_junction_rerank(junction_map):
+    builder, refiner, segments, jbank, frames = junction_map
+    m = refiner.map
+    user = MapUser(m, detector=None, matcher=FakeMatcher(),
+                   point_db=refiner.database, junction_db=refiner.junction_database,
+                   min_inlier_num=30, pose_refinement=True)
+
+    # query = features rendered at keyframe 2's ground-truth pose (with junctions)
+    kf_id = m.keyframe_ids[2]
+    kf = m.keyframes[kf_id]
+    feats = FrameFeatures(
+        keypoints=kf.keypoints, kp_scores=kf.kp_scores, kp_desc=kf.kp_desc,
+        kp_mask=kf.kp_mask, lines=kf.lines, line_scores=kf.line_scores,
+        line_mask=kf.line_mask, junctions=kf.junctions,
+        junc_scores=kf.junc_scores, junc_desc=kf.junc_desc, junc_mask=kf.junc_mask,
+    )
+    q = Frame(777777, 0.0, feats, m.camera)
+    q.u_right = kf.u_right.copy()
+    q.depth = kf.depth.copy()
+    ok, Twc = user.relocalize_frame(q)
+    assert ok
+    assert np.linalg.norm(Twc[:3, 3] - kf.Twc[:3, 3]) < 0.03
+
+    # the junction score itself is positive for the true frame
+    jvec, jwids, _ = user.junction_database.frame_to_bow(q.junc_desc, q.junc_mask)
+    q_conns = junction_connections(q.junctions, q.junc_mask, q.lines, q.line_mask)
+    s = user._junction_score(kf_id, jvec, jwids, q_conns)
+    assert s > 0.5  # identical junctions → L1 score ≈ 1, rate boosts above it
