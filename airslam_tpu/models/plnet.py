@@ -126,6 +126,14 @@ class LoiHead(nn.Module):
     ``loi_aux`` maps, max-pool 4:1 along the line, and regress a verification
     score (→ scores_line) plus a 4-d endpoint adjustment (→ lines_adjusted,
     consumed at ×4 upscale by the final decode, plnet.cpp:519-558).
+
+    For the record, the reference's shipped ``plnet_s1.onnx`` (parsed with
+    ``models/onnx_import.py``) implements this head as: 496-d pooled main
+    features → Linear 496→128 → ReLU → 128→128 → ReLU → 128→128, plus a
+    240-d thin/aux residual branch (240 = 30 samples × 8 thin+aux channels)
+    → Linear 240→128, and a 2-way softmax score head. This module keeps an
+    equivalent-capacity design with our sampling layout; swap the dims if
+    importing upstream stage-1 weights.
     """
 
     dtype: Any = jnp.float32

@@ -38,20 +38,24 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     k = k_ref[0]
     v = v_ref[0]
     d = q.shape[-1]
-    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) / jnp.sqrt(
-        jnp.asarray(d, jnp.float32)
-    )
+    # HIGHEST precision: f32 MXU passes so the kernel matches the XLA path
+    logits = jnp.dot(
+        q, k.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) / jnp.sqrt(jnp.asarray(d, jnp.float32))
     logits = jnp.where(mask_ref[0][None, :] > 0, logits, _NEG)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0] = (jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32) / denom).astype(
-        o_ref.dtype
-    )
+    o = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) / denom
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _flash_call(q, k, v, mask_i32):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flash_call(q, k, v, mask_i32, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -69,15 +73,21 @@ def _flash_call(q, k, v, mask_i32):
             pl.BlockSpec((1, nk), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, nq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(q, k, v, mask_i32)
 
 
-def flash_mha(q, k, v, kv_mask=None):
-    """Pallas fused attention (TPU); falls back to :func:`mha` elsewhere."""
-    if jax.default_backend() != "tpu":
-        return mha(q, k, v, kv_mask)
+def flash_mha(q, k, v, kv_mask=None, interpret=None):
+    """Pallas fused attention. On TPU runs compiled; elsewhere falls back to
+    :func:`mha` unless ``interpret=True`` forces the Pallas interpreter
+    (used by CPU tests to validate the kernel logic)."""
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = False
+        if not on_tpu:
+            return mha(q, k, v, kv_mask)
     nk = k.shape[1]
     if kv_mask is None:
         kv_mask = jnp.ones((nk,), jnp.bool_)
     mask_i32 = kv_mask.astype(jnp.int32)[None, :]
-    return _flash_call(q, k, v, mask_i32)
+    return _flash_call(q, k, v, mask_i32, interpret=interpret)

@@ -340,10 +340,14 @@ class MapBuilder:
         return self._pose_only(cur, matched, ref if use_imu_factor else None)
 
     def _solve_pnp(self, cur: Frame, matched):
-        """cv::solvePnPRansac wrapper (g2o_optimization.cc:1085-1134):
-        100 iters, 20 px, 0.99."""
-        if cv2 is None or len(matched) < 8:
+        """PnP-RANSAC initial pose (g2o_optimization.cc:1085-1134: 100 iters,
+        20 px, 0.99). Uses the host cv2 wrapper by default (reference parity);
+        set ``use_jax_pnp=True`` on the builder for the fully device-resident
+        RANSAC (backend/pnp.py)."""
+        if len(matched) < 8:
             return self.last_tracked_frame.Twc.copy(), 0
+        if getattr(self, "use_jax_pnp", False) or cv2 is None:
+            return self._solve_pnp_jax(cur, matched)
         obj = np.asarray([m.position for _, m in matched], np.float64)
         img = np.asarray([cur.keypoints[i] for i, _ in matched], np.float64)
         K = np.array(
@@ -363,6 +367,30 @@ class MapBuilder:
         Twc[:3, :3] = Rcw.T
         Twc[:3, 3] = -Rcw.T @ tvec[:, 0]
         return Twc, 0 if inl is None else len(inl)
+
+    def _solve_pnp_jax(self, cur: Frame, matched):
+        """Device-resident RANSAC PnP (backend/pnp.py)."""
+        from airslam_tpu.backend.pnp import solve_pnp_ransac
+        import jax as _jax
+
+        N = max(128, 1 << (len(matched) - 1).bit_length())
+        pts = np.zeros((N, 3))
+        uv = np.zeros((N, 2))
+        m = np.zeros(N, bool)
+        for j, (i, mpt) in enumerate(matched):
+            pts[j] = mpt.position
+            uv[j] = cur.keypoints[i]
+            m[j] = True
+        R, t, inl, ok = solve_pnp_ransac(
+            jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(m),
+            self.map._intr, _jax.random.PRNGKey(cur.frame_id),
+        )
+        if not bool(ok):
+            return self.last_tracked_frame.Twc.copy(), 0
+        Twc = np.eye(4)
+        Twc[:3, :3] = np.asarray(R).T
+        Twc[:3, 3] = -np.asarray(R).T @ np.asarray(t)
+        return Twc, int(np.asarray(inl).sum())
 
     def _pose_only(self, cur: Frame, matched, imu_ref: Optional[Frame] = None):
         """Pose-only GN via the batched backend (FrameOptimization equiv).
