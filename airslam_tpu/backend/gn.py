@@ -88,6 +88,8 @@ class BAProblem(NamedTuple):
     line_obs: jax.Array  # (L, F, 8)
     line_obs_stereo: jax.Array  # (L, F) bool
     line_obs_mask: jax.Array  # (L, F) bool
+    line_obs_sigma: jax.Array  # (L, F) information scale (pixel_sigma,
+    # map.cc:724: 0.1 for >3 observers else 0.001; tracking uses cfg rate)
     Rwg: jax.Array  # (3, 3) gravity direction
     gravity_free: jax.Array  # () float — 1.0 optimizes gravity, 0.0 pins it
     imu: Optional[IMUFactors]
@@ -258,9 +260,12 @@ def point_chi2(problem: BAProblem, intr):
     return chi2, depth_ok
 
 
-def line_chi2(problem: BAProblem, intr, sigma: float):
+def line_chi2(problem: BAProblem, intr, sigma=None):
+    """Per-observation chi² with the per-obs information scale
+    (``sigma`` overrides; default = problem.line_obs_sigma)."""
     r, row_mask, _, _ = _line_grid_residuals(problem, intr, with_jac=False)
-    return jnp.sum(r * r * row_mask, axis=-1) * sigma
+    s = problem.line_obs_sigma if sigma is None else sigma
+    return jnp.sum(r * r * row_mask, axis=-1) * s
 
 
 def _huber_cost(chi2, delta2, active):
@@ -273,7 +278,7 @@ def total_cost(problem: BAProblem, intr, cfg: BAConfig, robust: bool):
     is_stereo = problem.point_obs[..., 2] >= 0
     pthr = jnp.where(is_stereo, cfg.stereo_point, cfg.mono_point)
     active_p = problem.point_obs_mask
-    lchi2 = line_chi2(problem, intr, cfg.line_sigma)
+    lchi2 = line_chi2(problem, intr)
     lthr = jnp.where(problem.line_obs_stereo, cfg.stereo_line, cfg.mono_line)
     active_l = problem.line_obs_mask
     if robust:
@@ -342,9 +347,9 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
     # -- lines -------------------------------------------------------------
     lr, lrow_mask, LJc, LJl = _line_grid_residuals(problem, intr, True)
     lthr = jnp.where(problem.line_obs_stereo, cfg.stereo_line, cfg.mono_line)
-    lchi2 = jnp.sum(lr * lr * lrow_mask, axis=-1) * cfg.line_sigma
+    lchi2 = jnp.sum(lr * lr * lrow_mask, axis=-1) * problem.line_obs_sigma
     lw = res.huber_weight(lchi2, lthr) if robust else jnp.ones_like(lchi2)
-    lw = lw * problem.line_obs_mask * cfg.line_sigma
+    lw = lw * problem.line_obs_mask * problem.line_obs_sigma
     LJc = LJc * lrow_mask[..., None] * pose_free[None, :, None, None]
     line_free = ((~problem.line_fixed)).astype(dtype)
     LJl = LJl * lrow_mask[..., None] * line_free[:, None, None, None]

@@ -46,7 +46,7 @@ def local_ba(
     is_stereo = problem.point_obs[..., 2] >= 0
     pthr = jnp.where(is_stereo, cfg.stereo_point, cfg.mono_point)
     p_in = (pchi2 <= pthr) & depth_ok & problem.point_obs_mask
-    lchi2 = gn.line_chi2(problem, intr, cfg.line_sigma)
+    lchi2 = gn.line_chi2(problem, intr)
     lthr = jnp.where(problem.line_obs_stereo, cfg.stereo_line, cfg.mono_line)
     l_in = (lchi2 <= lthr) & problem.line_obs_mask
 
@@ -59,7 +59,7 @@ def local_ba(
     )
     pchi2, depth_ok = gn.point_chi2(final, intr)
     point_inlier = (pchi2 <= pthr) & depth_ok & problem.point_obs_mask
-    lchi2 = gn.line_chi2(final, intr, cfg.line_sigma)
+    lchi2 = gn.line_chi2(final, intr)
     line_inlier = (lchi2 <= lthr) & problem.line_obs_mask
     return final, point_inlier, line_inlier
 
@@ -90,7 +90,7 @@ def pose_only_optimization(
         problem = gn.optimize(problem, intr, cfg, iters, robust=True)
         pchi2, depth_ok = gn.point_chi2(problem, intr)
         p_in = (pchi2 <= pthr) & depth_ok & base_p_mask
-        lchi2 = gn.line_chi2(problem, intr, cfg.line_sigma)
+        lchi2 = gn.line_chi2(problem, intr)
         l_in = (lchi2 <= lthr) & base_l_mask
         problem = problem._replace(point_obs_mask=p_in, line_obs_mask=l_in)
 

@@ -452,6 +452,7 @@ class MapBuilder:
             line_obs=jnp.zeros((1, f, 8)),
             line_obs_stereo=jnp.zeros((1, f), bool),
             line_obs_mask=jnp.zeros((1, f), bool),
+            line_obs_sigma=jnp.full((1, f), 0.5),
             Rwg=jnp.asarray(self.map.Rwg),
             gravity_free=jnp.asarray(0.0),
             imu=imu_factors,
@@ -561,3 +562,50 @@ def _as_np_features(feats):
     import jax.tree_util as jtu
 
     return jtu.tree_map(np.asarray, feats)
+
+
+class PipelinedRunner:
+    """Double-buffered sequence runner — the TPU equivalent of the
+    reference's 2-thread pipeline with bounded queues (map_builder.cc:33-49,
+    feature thread ∥ tracking thread).
+
+    JAX dispatch is asynchronous: ``detector.detect`` for frame t+1 is queued
+    on the device *before* frame t's results are pulled to the host, so the
+    device computes detection t+1 while the host runs matching bookkeeping,
+    tracking and map maintenance for frame t. One frame of latency, same
+    results as the sequential loop (test_pipelined_runner).
+    """
+
+    def __init__(self, builder: MapBuilder):
+        self.builder = builder
+
+    def run(self, dataset, max_frames: int = 0, progress=None):
+        import jax.tree_util as jtu
+
+        b = self.builder
+        n = len(dataset) if max_frames <= 0 else min(len(dataset), max_frames)
+        pending = None
+        for i in range(n):
+            ts, left_raw, right_raw, imu = dataset.get(i)
+            left, right = b.rectify(left_raw, right_raw)
+            feats_dev = b.detector.detect(np.stack([left, right]))  # async
+            if pending is not None:
+                self._consume(pending)
+                if progress is not None:
+                    progress(i - 1)
+            pending = (ts, feats_dev, imu)
+        if pending is not None:
+            self._consume(pending)
+            if progress is not None:
+                progress(n - 1)
+        return n
+
+    def _consume(self, item):
+        import jax.tree_util as jtu
+
+        ts, feats_dev, imu = item
+        b = self.builder
+        f0 = jtu.tree_map(lambda t: np.asarray(t[0]), feats_dev)
+        f1 = jtu.tree_map(lambda t: np.asarray(t[1]), feats_dev)
+        pairs, _ = b.matcher.matching_points(f0, f1, threshold=b.match_threshold)
+        b.track_features(ts, f0, f1, pairs, imu)

@@ -276,6 +276,7 @@ class MapRefiner:
             lines=jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]]), line_fixed=jnp.ones(1, bool),
             line_obs=jnp.zeros((1, 1, 8)), line_obs_stereo=jnp.zeros((1, 1), bool),
             line_obs_mask=jnp.zeros((1, 1), bool),
+            line_obs_sigma=jnp.full((1, 1), 0.5),
             Rwg=jnp.asarray(self.map.Rwg), gravity_free=jnp.asarray(0.0), imu=None,
             Rcb=jnp.asarray(Tcb[:3, :3]), tcb=jnp.asarray(Tcb[:3, 3]),
         )

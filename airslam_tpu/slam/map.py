@@ -305,9 +305,13 @@ class Map:
         line_obs = np.zeros((L, f, 8))
         line_mask = np.zeros((L, f), bool)
         line_stereo = np.zeros((L, f), bool)
+        line_sigma = np.full((L, f), 0.001)
         lines = np.tile(np.array([1.0, 0, 0, 0, 1.0, 0]), (L, 1))
         for j, mpl in enumerate(mpls):
             lines[j] = mpl.line3d
+            # pixel_sigma = 0.1 for well-observed lines, 0.001 otherwise
+            # (map.cc:724)
+            line_sigma[j] = 0.1 if len(mpl.observers) > 3 else 0.001
             for fid, idx in mpl.observers.items():
                 k = frame_index.get(fid)
                 if k is None:
@@ -359,6 +363,7 @@ class Map:
             line_obs=jnp.asarray(line_obs),
             line_obs_stereo=jnp.asarray(line_stereo),
             line_obs_mask=jnp.asarray(line_mask),
+            line_obs_sigma=jnp.asarray(line_sigma),
             Rwg=jnp.asarray(self.Rwg),
             gravity_free=jnp.asarray(0.0),
             imu=self._imu_factors(frames) if self.imu_initialized else None,

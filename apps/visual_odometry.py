@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--model_dir", default=None, help="directory with *.npz weights")
     ap.add_argument("--traj_path", default=None)
     ap.add_argument("--max_frames", type=int, default=0)
+    ap.add_argument("--pipelined", action="store_true",
+                    help="double-buffer device detection with host tracking")
     from airslam_tpu.utils import device as device_util
 
     device_util.add_arg(ap)
@@ -66,12 +68,20 @@ def main():
     print(f"dataset: {n} frames")
 
     t_start = time.perf_counter()
-    for i in range(n):
-        ts, left, right, imu_batch = dataset.get(i)
-        t0 = time.perf_counter()
-        builder.add_input(ts, left, right, imu_batch)
-        if i % 50 == 0:
-            print(f"frame {i}/{n}  {1e3 * (time.perf_counter() - t0):.1f} ms/frame")
+    if args.pipelined:
+        from airslam_tpu.pipelines.map_builder import PipelinedRunner
+
+        PipelinedRunner(builder).run(
+            dataset, max_frames=n,
+            progress=lambda i: print(f"frame {i}/{n}") if i % 50 == 0 else None,
+        )
+    else:
+        for i in range(n):
+            ts, left, right, imu_batch = dataset.get(i)
+            t0 = time.perf_counter()
+            builder.add_input(ts, left, right, imu_batch)
+            if i % 50 == 0:
+                print(f"frame {i}/{n}  {1e3 * (time.perf_counter() - t0):.1f} ms/frame")
     elapsed = time.perf_counter() - t_start
     print(f"Average FPS: {n / elapsed:.2f}")
 

@@ -117,6 +117,7 @@ def build_problem(
         line_obs=jnp.zeros((L, f, 8), dtype) if line_obs is None else jnp.asarray(line_obs, dtype),
         line_obs_stereo=jnp.zeros((L, f), bool) if line_obs_stereo is None else jnp.asarray(line_obs_stereo),
         line_obs_mask=jnp.zeros((L, f), bool) if line_obs_mask is None else jnp.asarray(line_obs_mask),
+        line_obs_sigma=jnp.full((L, f), 1.0, dtype),
         Rwg=jnp.eye(3, dtype=dtype),
         gravity_free=jnp.asarray(0.0),
         imu=imu,

@@ -182,6 +182,7 @@ def test_local_ba_with_imu_factors():
         lines=jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]]), line_fixed=jnp.ones(1, bool),
         line_obs=jnp.zeros((1, f, 8)), line_obs_stereo=jnp.zeros((1, f), bool),
         line_obs_mask=jnp.zeros((1, f), bool),
+        line_obs_sigma=jnp.full((1, f), 1.0),
         Rwg=jnp.eye(3), gravity_free=jnp.asarray(0.0), imu=imu,
         Rcb=jnp.eye(3), tcb=jnp.zeros(3),
     )

@@ -252,3 +252,50 @@ def test_validate_printers(vo_result, capsys):
     assert stats["point_chi2_max"] < 1e-10
     out = capsys.readouterr().out
     assert "validate:test" in out
+
+
+def test_pipelined_runner_matches_sequential():
+    """The double-buffered runner must produce the same trajectory as the
+    sequential loop."""
+    from airslam_tpu.pipelines.map_builder import PipelinedRunner
+
+    cam = FakeCamera()
+    pts, desc = make_world(seed=21)
+    traj = circle_trajectory(8)
+    rng_render = np.random.RandomState(77)
+    rendered = [render_features(pts, desc, T, cam, rng_render) for T in traj]
+
+    class StubDetector:
+        """Returns precomputed per-pair features keyed by call order."""
+
+        def __init__(self):
+            self.i = 0
+
+        def detect(self, images, detect_junctions=False):
+            fl, fr, _ = rendered[self.i]
+            self.i += 1
+            import jax.tree_util as jtu
+            import jax.numpy as jnp
+            return jtu.tree_map(lambda a, b: jnp.stack([jnp.asarray(a), jnp.asarray(b)]), fl, fr)
+
+    class StubDataset:
+        def __len__(self):
+            return len(traj)
+
+        def get(self, i):
+            return i * 0.1, np.zeros((480, 752), np.float32), np.zeros((480, 752), np.float32), None
+
+    class PairMatcher(FakeMatcher):
+        pass
+
+    kf = KeyframeConfig(min_init_stereo_feature=50, max_num_match=60, tracking_point_rate=0.5)
+    b_seq = MapBuilder(cam, None, FakeMatcher(), kf_config=kf)
+    for i, (fl, fr, pairs) in enumerate(rendered):
+        b_seq.track_features(i * 0.1, fl, fr, pairs)
+
+    b_pipe = MapBuilder(cam, StubDetector(), PairMatcher(), kf_config=kf)
+    PipelinedRunner(b_pipe).run(StubDataset())
+
+    assert len(b_pipe.trajectory) == len(b_seq.trajectory)
+    for (t0, T0), (t1, T1) in zip(b_seq.trajectory, b_pipe.trajectory):
+        assert np.allclose(T0, T1, atol=1e-9)
