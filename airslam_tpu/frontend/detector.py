@@ -86,7 +86,7 @@ def _detect_single(
     )
     p = plnet_out["line_pred"].reshape(-1, 4)
     logit = plnet_out["line_logit"].reshape(-1)
-    keep, jmin, jmax = match_keep = wireframe.match_proposals(
+    keep, jmin, jmax = wireframe.match_proposals(
         p, logit, juncs, cfg.junction_match_threshold
     )
     cands = wireframe.dedup_pairs(keep, jmin, jmax, juncs, NUM_JUNCTIONS, cfg.max_lines)
