@@ -171,11 +171,16 @@ class MapRefiner:
     def _relative_pose_estimation(self, frame, word_features, loop_id, matches, groups):
         loop_frame = self.map.keyframes[loop_id]
         matched: Dict[int, Mappoint] = {}
+        untriangulated = []  # (query idx, loop idx, mappoint)
         for qi, li in matches:
             tid = int(loop_frame.track_ids[li])
             mpt = self.map.mappoints.get(tid)
-            if mpt is not None and mpt.is_valid:
+            if mpt is None:
+                continue
+            if mpt.is_valid:
                 matched[int(qi)] = mpt
+            else:
+                untriangulated.append((int(qi), int(li), mpt))
         if len(matched) < 50:
             return
 
@@ -187,6 +192,10 @@ class MapRefiner:
         Twl = loop_frame.Twc
         Rlq = Twl[:3, :3].T @ Twq[:3, :3]
         tlq = Twl[:3, :3].T @ (Twq[:3, 3] - Twl[:3, 3])
+
+        # untriangulated matches: epipolar gate vs the loop frame, then add
+        # the observation and retry triangulation (map_refiner.cc:415-433)
+        self._epipolar_recover(frame, loop_frame, untriangulated, Twq)
 
         # match recovery through the loop group (epipolar + reprojection gates)
         group_frames = set(groups[loop_id]["members"]) - {loop_id}
@@ -207,6 +216,35 @@ class MapRefiner:
                 continue
             if own.id != mpt.id:
                 self.merged_mappoints.setdefault(own.id, set()).add(mpt.id)
+
+    def _epipolar_recover(self, frame, loop_frame, untriangulated, Twq):
+        """Fundamental-matrix gate for matched-but-untriangulated mappoints
+        (map_refiner.cc:337-353 + 415-424): |x2ᵀ F x1| / |l| < 10 px admits
+        the query observation, then multi-view triangulation is retried."""
+        if not untriangulated:
+            return
+        cam = self.map.camera
+        K = np.array([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]])
+        Twl = loop_frame.Twc
+        Rlq = Twl[:3, :3].T @ Twq[:3, :3]
+        tlq = Twl[:3, :3].T @ (Twq[:3, 3] - Twl[:3, 3])
+        tx = np.array([[0, -tlq[2], tlq[1]], [tlq[2], 0, -tlq[0]], [-tlq[1], tlq[0], 0]])
+        # standard two-view fundamental matrix K⁻ᵀ [t]× R K⁻¹ (the reference
+        # composes with K on the right, map_refiner.cc:341 — we use the
+        # geometrically correct form)
+        F = np.linalg.inv(K).T @ tx @ Rlq @ np.linalg.inv(K)
+        for qi, li, mpt in untriangulated:
+            p1 = np.append(frame.keypoints[qi], 1.0)
+            p2 = np.append(loop_frame.keypoints[li], 1.0)
+            el = F @ p1
+            s = np.linalg.norm(el[:2])
+            if s < 1e-9:
+                continue
+            if abs(p2 @ el) / s < 10.0:
+                mpt.add_observer(frame.frame_id, qi)
+                frame.track_ids[qi] = mpt.id
+                frame.mappoint_ids[qi] = mpt.id
+                self.map.triangulate_mappoint(mpt)
 
     def _find_more_matches(self, frame, word_features, matched, inlier_map,
                            Twq, group_frames):
