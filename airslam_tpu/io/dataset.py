@@ -36,15 +36,19 @@ class Dataset:
         imu_rows: List[ImuData] = []
         if use_imu:
             imu_csv = os.path.join(dataroot, "imu0", "data.csv")
-            with open(imu_csv) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line or line.startswith("#"):
-                        continue
-                    v = [float(x) for x in line.split(",")]
-                    imu_rows.append(
-                        ImuData(v[0] * 1e-9, np.asarray(v[1:4]), np.asarray(v[4:7]))
-                    )
+            if not os.path.exists(imu_csv):
+                print(f"warning: {imu_csv} missing — continuing vision-only")
+                self.use_imu = use_imu = False
+            else:
+                with open(imu_csv) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line or line.startswith("#"):
+                            continue
+                        v = [float(x) for x in line.split(",")]
+                        imu_rows.append(
+                            ImuData(v[0] * 1e-9, np.asarray(v[1:4]), np.asarray(v[4:7]))
+                        )
 
         imu_idx = 0
         last_t = None
