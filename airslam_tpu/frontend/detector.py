@@ -45,6 +45,12 @@ class DetectorConfig:
     max_lines: int = 512
     max_junctions: int = 256
     junction_match_threshold: float = 5.0  # stride-4 cells
+    # proposal prefilter: keep the top-k proposals by confidence before
+    # junction matching. The reference scans all 3·128·128 = 49152 proposals
+    # (plnet.cpp:277-281); matching+dedup over them dominates decode time on
+    # TPU (~5 ms/pair), while ≤ max_lines (512) survive dedup anyway — 4096
+    # candidates is an 8× safety margin at 12× less work.
+    max_proposals: int = 4096
     dtype: Any = jnp.float32
 
 
@@ -86,6 +92,11 @@ def _detect_single(
     )
     p = plnet_out["line_pred"].reshape(-1, 4)
     logit = plnet_out["line_logit"].reshape(-1)
+    if 0 < cfg.max_proposals < p.shape[0]:
+        from airslam_tpu.ops.detect import top_k
+
+        logit, sel = top_k(logit, cfg.max_proposals)
+        p = p[sel]
     keep, jmin, jmax = wireframe.match_proposals(
         p, logit, juncs, cfg.junction_match_threshold
     )

@@ -41,7 +41,7 @@ from airslam_tpu.models.superpoint import VGGBackbone
 # Fixed decode budget (static shapes for XLA).
 NUM_JUNCTIONS = 300  # top-k junctions, = JN in plnet.cpp:284
 NUM_PROPOSALS_PER_CELL = 3  # lines_pred leading dim 128*128*3 (plnet.cpp:469)
-LOI_POINTS = 32  # samples along each candidate line
+LOI_POINTS = 16  # samples along each candidate line
 LOI_DIM = 128
 
 
@@ -55,8 +55,11 @@ class LineHeadTrunk(nn.Module):
         b, h8, w8, _ = c4.shape
         up = jax.image.resize(c4, (b, h8 * 2, w8 * 2, c4.shape[-1]), "bilinear")
         x = jnp.concatenate([c3, up], axis=-1)
-        x = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="fuse1")(x))
-        x = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="fuse2")(x))
+        # 128-wide trunk: at stride 4 (128x128) two 256-ch convs would cost
+        # ~38 GFLOP/view and dominate the frontend; 128 channels keep the
+        # heads expressive at a quarter of the cost
+        x = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="fuse1")(x))
+        x = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="fuse2")(x))
         return x
 
 

@@ -37,12 +37,15 @@ def main():
     @jax.jit
     def run_frames(plp, loip, lgp, frames, seed):
         def body(c, pair):
-            out = fn(plp, loip, lgp, pair + c * 1e-9)
-            c2 = (
-                jnp.sum(out[3].astype(jnp.float32))
-                + jnp.sum(out[0].astype(jnp.float32)) * 1e-9
+            out = fn(plp, loip, lgp, pair + c * 1e-3)
+            # consume EVERY output in the carry — otherwise XLA dead-code
+            # eliminates whole subgraphs (e.g. the line pipeline) and the
+            # bench silently measures a smaller program
+            c2 = sum(
+                jnp.sum(o.astype(jnp.float32))
+                for o in jax.tree_util.tree_leaves(out)
             )
-            return c2.astype(jnp.float32), None
+            return (c2 * 1e-9 + seed).astype(jnp.float32), None
         c, _ = jax.lax.scan(body, seed, frames)
         return c
 
