@@ -96,9 +96,100 @@ def _parse_tensor(buf: bytes):
         arr = np.asarray(floats, np.float32)
     else:
         arr = np.zeros(0, np_dtype)
-    if dims:
+    # absent dims field == rank-0 scalar in protobuf, so always reshape
+    if arr.size == int(np.prod(dims, dtype=np.int64)):
         arr = arr.reshape(dims)
     return name, arr
+
+
+def _parse_attr(buf: bytes):
+    """AttributeProto: name=1, f=2, i=3, t=5 (TensorProto), floats=7, ints=8,
+    type=20."""
+    name = ""
+    val = None
+    ints: List[int] = []
+    floats: List[float] = []
+    for field, wt, v in _fields(buf):
+        if field == 1 and wt == 2:
+            name = v.decode("utf-8", "replace")
+        elif field == 2 and wt == 5:
+            val = np.frombuffer(v, np.float32)[0]
+        elif field == 3 and wt == 0:
+            val = v
+        elif field == 5 and wt == 2:
+            val = _parse_tensor(v)[1]
+        elif field == 7:
+            if wt == 5:
+                floats.append(np.frombuffer(v, np.float32)[0])
+            else:
+                floats.extend(np.frombuffer(v, np.float32).tolist())
+        elif field == 8 and wt == 0:
+            ints.append(v)
+    if ints:
+        val = ints
+    elif floats:
+        val = floats
+    return name, val
+
+
+def _parse_node(buf: bytes):
+    """NodeProto: input=1, output=2, name=3, op_type=4, attribute=5."""
+    inputs: List[str] = []
+    outputs: List[str] = []
+    name = ""
+    op = ""
+    attrs: Dict[str, object] = {}
+    for field, wt, v in _fields(buf):
+        if field == 1 and wt == 2:
+            inputs.append(v.decode("utf-8", "replace"))
+        elif field == 2 and wt == 2:
+            outputs.append(v.decode("utf-8", "replace"))
+        elif field == 3 and wt == 2:
+            name = v.decode("utf-8", "replace")
+        elif field == 4 and wt == 2:
+            op = v.decode("utf-8", "replace")
+        elif field == 5 and wt == 2:
+            k, av = _parse_attr(v)
+            attrs[k] = av
+    return {"op": op, "name": name, "inputs": inputs, "outputs": outputs,
+            "attrs": attrs}
+
+
+def load_onnx_graph(path: str):
+    """Full graph parse: returns (nodes, initializers, graph_inputs,
+    graph_outputs). Nodes are in topological (file) order; Constant nodes
+    carry their tensor in attrs['value']."""
+    with open(path, "rb") as f:
+        model = f.read()
+    graph = None
+    for field, wt, val in _fields(model):
+        if field == 7 and wt == 2:
+            graph = val
+            break
+    if graph is None:
+        raise ValueError("no GraphProto in model")
+    nodes = []
+    inits: Dict[str, np.ndarray] = {}
+    g_in: List[str] = []
+    g_out: List[str] = []
+
+    def _vi_name(buf: bytes) -> str:
+        for f2, w2, v2 in _fields(buf):
+            if f2 == 1 and w2 == 2:
+                return v2.decode("utf-8", "replace")
+        return ""
+
+    for field, wt, val in _fields(graph):
+        if field == 1 and wt == 2:
+            nodes.append(_parse_node(val))
+        elif field == 5 and wt == 2:
+            name, arr = _parse_tensor(val)
+            inits[name] = arr
+        elif field == 11 and wt == 2:
+            g_in.append(_vi_name(val))
+        elif field == 12 and wt == 2:
+            g_out.append(_vi_name(val))
+    return nodes, inits, g_in, g_out
 
 
 def load_onnx(path: str):

@@ -51,6 +51,30 @@ def test_training_step_on_mesh():
     dryrun_multichip(8)
 
 
+def test_dryrun_multichip_standalone():
+    """Invoke dryrun_multichip exactly as the driver does: a fresh process
+    with NO conftest platform setup (round-1 failure: MULTICHIP_r01 rc=1
+    because the mesh assumed 8 devices already existed). The entry point must
+    self-provision the virtual CPU mesh."""
+    import os
+    import subprocess
+    import sys
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "_AIRSLAM_MULTICHIP_INNER")
+    }
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
+    assert "dryrun_multichip OK" in r.stdout
+
+
 def test_training_reduces_loss():
     import optax
     from airslam_tpu.models.lightglue import LightGlue
