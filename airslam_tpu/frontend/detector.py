@@ -19,13 +19,14 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from airslam_tpu.models.plnet import PLNet, LoiHead, NUM_JUNCTIONS
+from airslam_tpu.models.plnet import PLNet, LoiHead, LoiHeadS1, NUM_JUNCTIONS
 from airslam_tpu.models.superpoint import SuperPoint
 from airslam_tpu.ops import wireframe
 from airslam_tpu.ops.detect import topk_keypoints
@@ -51,6 +52,10 @@ class DetectorConfig:
     # TPU (~5 ms/pair), while ≤ max_lines (512) survive dedup anyway — 4096
     # candidates is an 8× safety margin at 12× less work.
     max_proposals: int = 4096
+    # "s1": the import-compatible stage-1 head (plnet_s1.onnx architecture,
+    # loads the reference's trained checkpoint); "fast": the narrower
+    # 16-sample head. Both fuse into the same per-frame program.
+    loi_head: str = "s1"
     dtype: Any = jnp.float32
 
 
@@ -100,10 +105,13 @@ def _detect_single(
     keep, jmin, jmax = wireframe.match_proposals(
         p, logit, juncs, cfg.junction_match_threshold
     )
-    cands = wireframe.dedup_pairs(keep, jmin, jmax, juncs, NUM_JUNCTIONS, cfg.max_lines)
+    cands = wireframe.dedup_pairs(
+        keep, jmin, jmax, juncs, NUM_JUNCTIONS, cfg.max_lines, line_pred=p
+    )
     line_scores, lines_adj = loi_apply(
         loi_params,
         cands.lines,
+        cands.prop_lines,
         plnet_out["loi"],
         plnet_out["loi_thin"],
         plnet_out["loi_aux"],
@@ -181,7 +189,10 @@ class FeatureDetector:
     def __init__(self, config: DetectorConfig = DetectorConfig(), params=None, seed: int = 0):
         self.config = config
         self.plnet = PLNet(dtype=config.dtype)
-        self.loi = LoiHead(dtype=config.dtype)
+        if config.loi_head == "s1":
+            self.loi = LoiHeadS1(dtype=config.dtype)
+        else:
+            self.loi = LoiHead(dtype=config.dtype)
         self.superpoint = SuperPoint(dtype=config.dtype) if config.use_superpoint else None
         if params is None:
             params = self.init_params(seed)
@@ -192,13 +203,28 @@ class FeatureDetector:
         k0, k1, k2 = jax.random.split(jax.random.PRNGKey(seed), 3)
         dummy = jnp.zeros((1, DETECT_SIZE, DETECT_SIZE, 1), jnp.float32)
         params = {"plnet": self.plnet.init(k0, dummy)}
-        cand = jnp.zeros((self.config.max_lines, 4), jnp.float32)
-        fmap = jnp.zeros((128, 128, 128), jnp.float32)
-        thin = jnp.zeros((128, 128, 4), jnp.float32)
-        params["loi"] = self.loi.init(k1, cand, fmap, thin, thin)
+        params["loi"] = self._init_loi_params(k1)
         if self.superpoint is not None:
             params["superpoint"] = self.superpoint.init(k2, dummy)
         return params
+
+    def _init_loi_params(self, key):
+        """The reference's trained stage-1 checkpoint when using the
+        import-compatible head (repo npz, falling back to converting the
+        reference ONNX); random init otherwise."""
+        if self.config.loi_head == "s1":
+            from airslam_tpu.models import weights as wio
+
+            ckpt = wio.checkpoint_path("plnet_s1.npz")
+            if os.path.exists(ckpt):
+                return wio.load_params(ckpt)
+            onnx = "/root/reference/output/plnet_s1.onnx"
+            if os.path.exists(onnx):
+                return wio.import_plnet_s1(onnx)
+        cand = jnp.zeros((self.config.max_lines, 4), jnp.float32)
+        fmap = jnp.zeros((128, 128, 128), jnp.float32)
+        thin = jnp.zeros((128, 128, 4), jnp.float32)
+        return self.loi.init(key, cand, cand, fmap, thin, thin)
 
     # -- jitted core -------------------------------------------------------
 

@@ -102,6 +102,11 @@ def _parse_tensor(buf: bytes):
     return name, arr
 
 
+def _signed(v: int) -> int:
+    """Protobuf int64 varints are two's-complement in 64 bits."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _parse_attr(buf: bytes):
     """AttributeProto: name=1, f=2, i=3, t=5 (TensorProto), floats=7, ints=8,
     type=20."""
@@ -115,7 +120,7 @@ def _parse_attr(buf: bytes):
         elif field == 2 and wt == 5:
             val = np.frombuffer(v, np.float32)[0]
         elif field == 3 and wt == 0:
-            val = v
+            val = _signed(v)
         elif field == 5 and wt == 2:
             val = _parse_tensor(v)[1]
         elif field == 7:
@@ -124,7 +129,7 @@ def _parse_attr(buf: bytes):
             else:
                 floats.extend(np.frombuffer(v, np.float32).tolist())
         elif field == 8 and wt == 0:
-            ints.append(v)
+            ints.append(_signed(v))
     if ints:
         val = ints
     elif floats:

@@ -142,9 +142,13 @@ class LoiHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, lines, loi, loi_thin, loi_aux):
+    def __call__(self, lines, prop_lines, loi, loi_thin, loi_aux):
         """lines: (L, 4) candidate (x1, y1, x2, y2) in 128-grid coords;
-        feature maps: (128, 128, C). Returns (scores (L,), adjusted (L, 4))."""
+        feature maps: (128, 128, C). ``prop_lines`` is accepted for call
+        compatibility with :class:`LoiHeadS1` and ignored (this fast head
+        samples only the junction line). Returns (scores (L,), adjusted
+        (L, 4))."""
+        del prop_lines
         t = jnp.linspace(0.0, 1.0, LOI_POINTS, dtype=jnp.float32)
         p1 = lines[:, 0:2]
         p2 = lines[:, 2:4]
@@ -166,6 +170,107 @@ class LoiHead(nn.Module):
         score = jax.nn.sigmoid(nn.Dense(1, dtype=self.dtype, name="score")(x).astype(jnp.float32))[:, 0]
         delta = jnp.tanh(nn.Dense(4, dtype=self.dtype, name="delta")(x).astype(jnp.float32)) * 2.0
         return score, lines + delta
+
+
+class LoiHeadS1(nn.Module):
+    """Import-compatible stage-1 LOI verification head — the exact
+    architecture of the reference's shipped ``plnet_s1.onnx`` (the ONE trained
+    checkpoint in /root/reference/output), recovered by executing the graph
+    with ``models/onnx_exec.py``:
+
+    - per candidate line (junction pair, coords in the stride-4 128-grid):
+      * f_ep = LOI features (128 ch) bilinearly sampled at each endpoint
+        − 0.5 (2 × 128)
+      * f_thin = thin features (4 ch) sampled at 30 interior points
+        ``t·e1 + (1−t)·e2 − 0.5``, t = i/31 for i=1..30, along the JUNCTION
+        line → flattened channel-major (120)
+      * f_aux = aux features (4 ch) sampled along the REPRESENTATIVE LINE
+        PROPOSAL (first kept proposal deduplicating to this pair) (120)
+    - main: Linear(496→128)+ReLU → Linear(128→128)+ReLU → Linear(128→128)
+    - residual: ReLU(Linear(240→128)) on [f_thin | f_aux]
+    - score = softmax(Linear(128→2)(main + residual))[:, 1]
+    - lines_adjusted = the junction coordinates themselves (plnet.cpp:544
+      then ×4 upscale downstream).
+
+    Weight mapping from the ONNX initializers is in
+    ``models/weights.py::import_plnet_s1``; bit-exactness is tested against
+    the numpy graph executor in tests/test_loi_s1.py.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, lines, prop_lines, loi, loi_thin, loi_aux):
+        """lines/prop_lines: (L, 4) (x1, y1, x2, y2) in 128-grid coords;
+        loi: (128, 128, 128) HWC, loi_thin/aux: (128, 128, 4) HWC.
+        Returns (scores (L,), lines_adjusted (L, 4))."""
+        n = 30
+        # The ONNX graph bakes the two t-ramps as float32 constants whose
+        # LSBs differ from 1-t of each other; keep them as parameters so the
+        # importer can set the exact bits.
+        t_fwd = self.param(
+            "t_fwd", lambda k: (jnp.arange(1, n + 1, dtype=jnp.float32) / (n + 1))
+        )
+        t_rev = self.param(
+            "t_rev", lambda k: (jnp.arange(n, 0, -1, dtype=jnp.float32) / (n + 1))
+        )
+
+        e1 = lines[:, 0:2]
+        e2 = lines[:, 2:4]
+        f_ep1 = _onnx_bilerp(loi, e1[:, 0] - 0.5, e1[:, 1] - 0.5)  # (L, 128)
+        f_ep2 = _onnx_bilerp(loi, e2[:, 0] - 0.5, e2[:, 1] - 0.5)
+
+        def interior(seg):  # (L, 4) -> x (L, 30), y (L, 30)
+            x = seg[:, 0:1] * t_fwd[None, :] + seg[:, 2:3] * t_rev[None, :] - 0.5
+            y = seg[:, 1:2] * t_fwd[None, :] + seg[:, 3:4] * t_rev[None, :] - 0.5
+            return x, y
+
+        xj, yj = interior(lines)
+        xp, yp = interior(prop_lines)
+        # (L, 30, 4) -> channel-major flatten (L, 120) like the ONNX
+        # Transpose([1,0,2]) of (4, L, 30)
+        f_thin = _onnx_bilerp(loi_thin, xj, yj).transpose(0, 2, 1).reshape(lines.shape[0], -1)
+        f_aux = _onnx_bilerp(loi_aux, xp, yp).transpose(0, 2, 1).reshape(lines.shape[0], -1)
+
+        feats = jnp.concatenate([f_ep1, f_ep2, f_thin, f_aux], axis=-1).astype(self.dtype)
+        res_in = jnp.concatenate([f_thin, f_aux], axis=-1).astype(self.dtype)
+
+        x = nn.relu(nn.Dense(128, dtype=self.dtype, name="fc2_0")(feats))
+        x = nn.relu(nn.Dense(128, dtype=self.dtype, name="fc2_2")(x))
+        x = nn.Dense(128, dtype=self.dtype, name="fc2_4")(x)
+        r = nn.relu(nn.Dense(128, dtype=self.dtype, name="fc2_res")(res_in))
+        logits = nn.Dense(2, dtype=self.dtype, name="fc2_head")(x + r).astype(jnp.float32)
+        score = jax.nn.softmax(logits, axis=-1)[:, 1]
+        return score, lines
+
+
+def _onnx_bilerp(fmap: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Bilinear sampling with the exact corner/clamp arithmetic of the
+    reference's stage-1 graph: x0 = clip(floor(x), 0, W−1), x1 = clip(x0+1,
+    0, W−1), weights (x1−x)/(x−x0) UNclamped (zero weight at exact borders,
+    mild extrapolation below 0 — reproduced as-is for bit parity).
+
+    fmap: (H, W, C); x, y: (...) float. Returns (..., C).
+    """
+    h, w, _ = fmap.shape
+    x0f = jnp.clip(jnp.floor(x), 0.0, w - 1)
+    y0f = jnp.clip(jnp.floor(y), 0.0, h - 1)
+    x1f = jnp.clip(x0f + 1.0, 0.0, w - 1)
+    y1f = jnp.clip(y0f + 1.0, 0.0, h - 1)
+    x0 = x0f.astype(jnp.int32)
+    x1 = x1f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    y1 = y1f.astype(jnp.int32)
+    flat = fmap.reshape(h * w, -1)
+    v00 = flat[y0 * w + x0]
+    v01 = flat[y0 * w + x1]
+    v10 = flat[y1 * w + x0]
+    v11 = flat[y1 * w + x1]
+    wx1 = (x1f - x)[..., None]
+    wx0 = (x - x0f)[..., None]
+    wy1 = (y1f - y)[..., None]
+    wy0 = (y - y0f)[..., None]
+    return v00 * wx1 * wy1 + v01 * wx0 * wy1 + v10 * wx1 * wy0 + v11 * wx0 * wy0
 
 
 def _bilinear_lookup(fmap: jax.Array, pts: jax.Array) -> jax.Array:

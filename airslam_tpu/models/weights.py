@@ -28,6 +28,42 @@ def load_params(path: str) -> Dict[str, Any]:
     return traverse_util.unflatten_dict(flat, sep="/")
 
 
+def import_plnet_s1(onnx_path: str) -> Dict[str, Any]:
+    """Map the reference's shipped ``plnet_s1.onnx`` initializers onto the
+    :class:`airslam_tpu.models.plnet.LoiHeadS1` flax parameter tree
+    (bit-exact; see tests/test_loi_s1.py). PyTorch Linear stores (out, in);
+    flax Dense kernels are (in, out)."""
+    from airslam_tpu.models.onnx_import import load_onnx
+
+    w, _ = load_onnx(onnx_path)
+
+    def lin(prefix):
+        return {
+            "kernel": np.ascontiguousarray(w[f"{prefix}.weight"].T),
+            "bias": np.ascontiguousarray(w[f"{prefix}.bias"]),
+        }
+
+    return {
+        "params": {
+            "fc2_0": lin("fc2.0"),
+            "fc2_2": lin("fc2.2"),
+            "fc2_4": lin("fc2.4"),
+            "fc2_res": lin("fc2_res.0"),
+            "fc2_head": lin("fc2_head"),
+            # exact sampling-ramp constants (LSBs differ from arange/31)
+            "t_fwd": np.ascontiguousarray(w["onnx::Mul_1141"].reshape(-1)),
+            "t_rev": np.ascontiguousarray(w["onnx::Mul_1142"].reshape(-1)),
+        }
+    }
+
+
+_CHECKPOINT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "checkpoints")
+
+
+def checkpoint_path(name: str) -> str:
+    return os.path.normpath(os.path.join(_CHECKPOINT_DIR, name))
+
+
 def load_or_init(path: str, init_fn):
     """Load params from ``path`` if present, else initialize (and persist)."""
     if path and os.path.exists(path):

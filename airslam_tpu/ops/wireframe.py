@@ -34,6 +34,7 @@ class LineCandidates(NamedTuple):
     pairs: jax.Array  # (L, 2) int32 junction indices (max_idx, min_idx)
     lines: jax.Array  # (L, 4) endpoint coords in stride-4 grid
     mask: jax.Array  # (L,)
+    prop_lines: jax.Array  # (L, 4) representative proposal endpoints
 
 
 def decode_junctions(junc_heat: jax.Array, junc_offset: jax.Array, k: int,
@@ -85,12 +86,18 @@ def match_proposals(
 
 def dedup_pairs(
     keep: jax.Array, jmin: jax.Array, jmax: jax.Array, juncs: Junctions,
-    num_junctions: int, max_lines: int,
+    num_junctions: int, max_lines: int, line_pred: jax.Array = None,
 ) -> LineCandidates:
     """Unique (jmin, jmax) pairs in first-occurrence order, capped at
     ``max_lines`` — the TPU version of the ``unique_map`` walk
     (plnet.cpp:283-305). Candidate endpoints are the junction coordinates,
-    ordered (jmax, jmin) like ``idx_lines_for_junctions_unique_``."""
+    ordered (jmax, jmin) like ``idx_lines_for_junctions_unique_``.
+
+    ``line_pred`` (P, 4): when given, also returns each unique pair's
+    REPRESENTATIVE proposal — the first kept proposal deduplicating to it —
+    which the stage-1 head samples its aux features along (the reference
+    feeds it via the reversed-ScatterElements trick inside plnet_s1.onnx).
+    """
     p = keep.shape[0]
     key = jmin * num_junctions + jmax  # (P,)
     order = jnp.arange(p, dtype=jnp.int32)
@@ -100,15 +107,23 @@ def dedup_pairs(
     # unique-id ordering truncated to a static budget.
     neg_order, uniq_key = top_k(-slot, max_lines)
     uniq_key = uniq_key.astype(jnp.int32)
-    valid = -neg_order < p
+    first_occ = -neg_order
+    valid = first_occ < p
     pair_min = (uniq_key // num_junctions).astype(jnp.int32)
     pair_max = (uniq_key % num_junctions).astype(jnp.int32)
     p1 = juncs.xy[pair_max]
     p2 = juncs.xy[pair_min]
+    lines = jnp.concatenate([p1, p2], axis=-1)
+    if line_pred is not None:
+        rep = jnp.clip(first_occ, 0, p - 1).astype(jnp.int32)
+        prop_lines = line_pred[rep]
+    else:
+        prop_lines = lines
     return LineCandidates(
         pairs=jnp.stack([pair_max, pair_min], axis=-1),
-        lines=jnp.concatenate([p1, p2], axis=-1),
+        lines=lines,
         mask=valid,
+        prop_lines=prop_lines,
     )
 
 
