@@ -40,6 +40,53 @@ def test_reloc_config_parses_reference_yaml():
     assert cfg.tracking_optimization.stereo_line == 75
 
 
+REPO_CFG = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def test_repo_configs_match_reference():
+    """The repo ships its own configs/ tree (same schema+values) so the
+    framework runs standalone; every file must parse identically to its
+    reference counterpart."""
+    import glob
+
+    loaders = {
+        "visual_odometry": VisualOdometryConfigs.load,
+        "map_refinement": MapRefinementConfigs.load,
+        "relocalization": RelocalizationConfigs.load,
+    }
+    checked = 0
+    for sub, load in loaders.items():
+        for repo_path in sorted(glob.glob(f"{REPO_CFG}/{sub}/*.yaml")):
+            name = os.path.basename(repo_path)
+            ref_path = f"{REF_CFG}/{sub}/{name}"
+            ours = load(repo_path)
+            if os.path.exists(ref_path):
+                assert ours == load(ref_path), name
+            checked += 1
+    assert checked >= 10
+
+
+def test_repo_camera_configs_match_reference():
+    import glob
+
+    from airslam_tpu.core.camera import Camera
+
+    checked = 0
+    for repo_path in sorted(glob.glob(f"{REPO_CFG}/camera/*.yaml")):
+        name = os.path.basename(repo_path)
+        ref_path = f"{REF_CFG}/camera/{name}"
+        ours = Camera(repo_path)
+        if os.path.exists(ref_path):
+            ref = Camera(ref_path)
+            assert ours.image_width == ref.image_width
+            assert ours.use_imu == ref.use_imu
+            assert (ours.fx, ours.fy, ours.cx, ours.cy) == (ref.fx, ref.fy, ref.cx, ref.cy)
+            np.testing.assert_allclose(ours.Tbc, ref.Tbc, atol=1e-12)
+            np.testing.assert_allclose(ours.bf, ref.bf, atol=1e-9)
+        checked += 1
+    assert checked >= 6
+
+
 def test_tum_roundtrip(tmp_path):
     from scipy.spatial.transform import Rotation
 
