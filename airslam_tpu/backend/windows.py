@@ -73,13 +73,16 @@ def pose_only_optimization(
     iters: int = 10,
 ):
     """Pose-only optimization: all landmarks fixed (the caller sets
-    ``point_fixed``/``line_fixed`` to all-True). Per round: optimize with the
-    Huber kernel on currently-active observations, then relabel by chi².
+    ``point_fixed``/``line_fixed`` to all-True). Per round: reset the pose to
+    the initial estimate (``current_frame->setEstimate(current_pose)`` at the
+    top of every round, g2o_optimization.cc:730), optimize with the Huber
+    kernel on currently-active observations, then relabel by chi².
     Returns (problem, point_inlier, line_inlier, num_inliers)."""
     problem = problem._replace(
         point_fixed=jnp.ones_like(problem.point_fixed),
         line_fixed=jnp.ones_like(problem.line_fixed),
     )
+    frames0 = problem.frames
     base_p_mask = problem.point_obs_mask
     base_l_mask = problem.line_obs_mask
     is_stereo = problem.point_obs[..., 2] >= 0
@@ -87,10 +90,19 @@ def pose_only_optimization(
     lthr = jnp.where(problem.line_obs_stereo, cfg.stereo_line, cfg.mono_line)
 
     for _ in range(rounds):
+        # reset only the pose (the reference re-seeds the pose vertex; the
+        # velocity/bias vertices keep their running estimates)
+        problem = problem._replace(
+            frames=problem.frames._replace(Rwb=frames0.Rwb, twb=frames0.twb)
+        )
         problem = gn.optimize(problem, intr, cfg, iters, robust=True)
-        pchi2, depth_ok = gn.point_chi2(problem, intr)
+        # relabel over the FULL base observation set (the reference refreshes
+        # outlier edges with computeError() before re-testing chi², so gated
+        # observations can return — g2o_optimization.cc:735-739)
+        probe = problem._replace(point_obs_mask=base_p_mask, line_obs_mask=base_l_mask)
+        pchi2, depth_ok = gn.point_chi2(probe, intr)
         p_in = (pchi2 <= pthr) & depth_ok & base_p_mask
-        lchi2 = gn.line_chi2(problem, intr)
+        lchi2 = gn.line_chi2(probe, intr)
         l_in = (lchi2 <= lthr) & base_l_mask
         problem = problem._replace(point_obs_mask=p_in, line_obs_mask=l_in)
 

@@ -150,6 +150,35 @@ def test_pose_only_optimization():
     assert np.array_equal(np.asarray(out.points), np.asarray(prob.points))
 
 
+def test_pose_only_optimization_outlier_recovery():
+    """30% gross outliers: the per-round pose reset (FrameOptimization
+    re-seeds the pose vertex each relabeling round, g2o_optimization.cc:730)
+    keeps a bad first round from locking in; the pose recovers and the
+    outliers are labeled."""
+    rng = np.random.RandomState(9)
+    scene = make_point_scene(f=1, p=60, rng=rng)
+    obs = scene["obs"].copy()
+    bad = rng.choice(60, 18, replace=False)  # 30%
+    obs[bad, 0, :2] += rng.uniform(40, 120, (18, 2)) * np.sign(rng.randn(18, 2))
+    scene = dict(scene, obs=obs)
+
+    from scipy.spatial.transform import Rotation
+    Rp = scene["Rwb"].copy()
+    tp = scene["twb"].copy()
+    Rp[0] = Rp[0] @ Rotation.from_rotvec(rng.randn(3) * 0.05).as_matrix()
+    tp[0] = tp[0] + rng.randn(3) * 0.15
+    prob = build_problem(scene, Rwb=Rp, twb=tp, pose_fixed=np.zeros(1, bool))
+    out, p_in, _, n_in = windows.pose_only_optimization(prob, scene["intr"])
+    p_in = np.asarray(p_in)
+    mask = np.asarray(prob.point_obs_mask)
+    good = np.ones(60, bool)
+    good[bad] = False
+    # all genuine inliers kept, all gross outliers rejected
+    assert p_in[good].sum() == mask[good].sum()
+    assert not p_in[bad].any()
+    assert np.abs(np.asarray(out.frames.twb[0]) - scene["twb"][0]).max() < 1e-3
+
+
 def test_local_ba_with_lines():
     """Lines + points jointly: line residuals drive the line estimate back."""
     rng = np.random.RandomState(4)
