@@ -33,6 +33,12 @@ class MatcherConfig:
     image_height: int = 480
     max_keypoints: int = 512  # static token budget (engine profile ≤1024)
     sinkhorn_iterations: int = 0  # SuperGlue OT (reference ships it disabled)
+    # Pallas flash attention is wired end-to-end but measured SLOWER than the
+    # fused XLA path at this size (N=400, D=64/head: 0.56 ms vs 0.41 ms per
+    # stereo pair on v5e — 36 tiny kernel launches/match can't beat one fused
+    # XLA program). Flip on for larger token budgets (≥1k) where the (N, N)
+    # HBM round trip starts to matter.
+    use_flash: bool = False
     dtype: Any = jnp.float32
 
 
@@ -40,7 +46,7 @@ class PointMatcher:
     def __init__(self, config: MatcherConfig = MatcherConfig(), params=None, seed: int = 0):
         self.config = config
         if config.matcher == 0:
-            self.model = LightGlue(dtype=config.dtype)
+            self.model = LightGlue(dtype=config.dtype, use_flash=config.use_flash)
             self.threshold = 0.1
             self.norm_scale = 0.5
         else:

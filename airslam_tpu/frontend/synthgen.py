@@ -1,0 +1,257 @@
+"""Synthetic-shapes scene generator for detector training — fully jittable,
+so training data is rendered ON the TPU (no host data pipeline).
+
+The reference consumes frozen TensorRT engines and cannot train; its PLNet
+stage-0 checkpoint is not shipped (only the stage-1 head is). This module
+bootstraps trained weights the SuperPoint way (arXiv 1712.07629 "Synthetic
+Shapes"): random line segments and filled convex polygons rendered with
+anti-aliasing, whose corners and edges are exact ground truth for the
+keypoint heatmap, junction heatmap/offsets, line-proposal heads, and — via
+affine-warped co-visible pairs — descriptor correspondence.
+
+All shapes are static: S standalone segments + T triangles + Q quads per
+image, corner/segment budgets padded with masks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+SIZE = 512  # render resolution (the detector's input size)
+N_SEG = 8  # standalone segments
+N_TRI = 3  # filled triangles
+N_QUAD = 3  # filled quads
+N_POLY_V = 3 * N_TRI + 4 * N_QUAD
+MAX_CROSS = 64
+MAX_CORNERS = 2 * N_SEG + N_POLY_V + MAX_CROSS
+MAX_SEGMENTS = N_SEG + N_POLY_V
+
+
+class Shapes(NamedTuple):
+    """Scene geometry in pixel coordinates (before rendering)."""
+
+    segments: jax.Array  # (MAX_SEGMENTS, 4) — standalone first, then edges
+    segment_mask: jax.Array  # (MAX_SEGMENTS,)
+    tri_verts: jax.Array  # (N_TRI, 3, 2)
+    quad_verts: jax.Array  # (N_QUAD, 4, 2)
+    fill_shade: jax.Array  # (N_TRI + N_QUAD,)
+    stroke: jax.Array  # (MAX_SEGMENTS,)
+
+
+class Scene(NamedTuple):
+    image: jax.Array  # (H, W) float in [0, 1]
+    corners: jax.Array  # (C, 2) xy pixel coords
+    corner_mask: jax.Array  # (C,)
+    segments: jax.Array  # (S, 4) x1 y1 x2 y2
+    segment_mask: jax.Array  # (S,)
+
+
+def _seg_dist(px, py, seg):
+    """Distance from every pixel to a segment. px/py: (H, W); seg: (4,)."""
+    ax, ay, bx, by = seg[0], seg[1], seg[2], seg[3]
+    dx, dy = bx - ax, by - ay
+    L2 = jnp.maximum(dx * dx + dy * dy, 1e-6)
+    t = jnp.clip(((px - ax) * dx + (py - ay) * dy) / L2, 0.0, 1.0)
+    qx = ax + t * dx
+    qy = ay + t * dy
+    return jnp.sqrt((px - qx) ** 2 + (py - qy) ** 2)
+
+
+def _halfplane(px, py, a, b, c):
+    """Signed distance of pixels to the line through a->b; positive on the
+    side of c (so the polygon interior is positive)."""
+    nx, ny = b[1] - a[1], a[0] - b[0]
+    nrm = jnp.sqrt(nx * nx + ny * ny) + 1e-6
+    nx, ny = nx / nrm, ny / nrm
+    d = (px - a[0]) * nx + (py - a[1]) * ny
+    s = jnp.sign((c[0] - a[0]) * nx + (c[1] - a[1]) * ny)
+    return d * s
+
+
+def _poly_fill(px, py, verts):
+    """Soft inside-mask of a convex polygon given (V, 2) vertices."""
+    v = verts
+    n = v.shape[0]
+    inside = jnp.full(px.shape, jnp.inf)
+    centroid = jnp.mean(v, axis=0)
+    for i in range(n):
+        d = _halfplane(px, py, v[i], v[(i + 1) % n], centroid)
+        inside = jnp.minimum(inside, d)
+    return jax.nn.sigmoid(inside * 2.0)  # ~1 inside, ~0 outside, soft edge
+
+
+def _seg_intersections(segs, mask):
+    """Pairwise segment intersection points (static (S², 2) with validity)."""
+    s = segs.shape[0]
+    a = segs[:, None, :]  # (S, 1, 4)
+    b = segs[None, :, :]  # (1, S, 4)
+    x1, y1, x2, y2 = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    x3, y3, x4, y4 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    den = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+    safe = jnp.abs(den) > 1e-6
+    den = jnp.where(safe, den, 1.0)
+    t = ((x1 - x3) * (y3 - y4) - (y1 - y3) * (x3 - x4)) / den
+    u = ((x1 - x3) * (y1 - y2) - (y1 - y3) * (x1 - x2)) / den
+    hit = safe & (t > 0.02) & (t < 0.98) & (u > 0.02) & (u < 0.98)
+    hit = hit & mask[:, None] & mask[None, :]
+    hit = hit & (jnp.arange(s)[:, None] < jnp.arange(s)[None, :])  # upper tri
+    ix = x1 + t * (x2 - x1)
+    iy = y1 + t * (y2 - y1)
+    pts = jnp.stack([ix, iy], axis=-1).reshape(s * s, 2)
+    return pts, hit.reshape(s * s)
+
+
+def sample_shapes(key, size: int = SIZE) -> Shapes:
+    """Random scene geometry with static budgets."""
+    ks = jax.random.split(key, 12)
+    m = 24.0
+
+    p1 = jax.random.uniform(ks[0], (N_SEG, 2), minval=m, maxval=size - m)
+    p2 = jax.random.uniform(ks[1], (N_SEG, 2), minval=m, maxval=size - m)
+    seg_ok = jnp.linalg.norm(p2 - p1, axis=-1) > 64.0
+    segs = [jnp.concatenate([p1, p2], axis=-1)]
+    seg_masks = [seg_ok]
+
+    def polygon(key, nv, min_r, max_r):
+        kc, kr, ka = jax.random.split(key, 3)
+        c = jax.random.uniform(kc, (2,), minval=size * 0.2, maxval=size * 0.8)
+        base = jax.random.uniform(ka, (), minval=0.0, maxval=6.28)
+        ang = base + jnp.arange(nv) * (6.28318 / nv) + jax.random.uniform(
+            kr, (nv,), minval=-0.35, maxval=0.35
+        )
+        r = jax.random.uniform(jax.random.fold_in(kr, 1), (nv,), minval=min_r, maxval=max_r)
+        v = c[None, :] + jnp.stack([jnp.cos(ang), jnp.sin(ang)], -1) * r[:, None]
+        return jnp.clip(v, m, size - m)
+
+    tri = jnp.stack([polygon(jax.random.fold_in(ks[2], i), 3, 40.0, 110.0)
+                     for i in range(N_TRI)])
+    quad = jnp.stack([polygon(jax.random.fold_in(ks[3], i), 4, 50.0, 130.0)
+                      for i in range(N_QUAD)])
+    for v in list(tri) + list(quad):
+        e = jnp.concatenate([v, jnp.roll(v, -1, axis=0)], axis=-1)
+        segs.append(e)
+        seg_masks.append(jnp.ones((v.shape[0],), bool))
+
+    fill_shade = jax.random.uniform(ks[4], (N_TRI + N_QUAD,), minval=-0.45, maxval=0.45)
+    stroke = jax.random.uniform(ks[5], (MAX_SEGMENTS,), minval=-0.5, maxval=0.5)
+    stroke = jnp.where(jnp.abs(stroke) < 0.25, jnp.sign(stroke) * 0.25, stroke)
+    return Shapes(
+        segments=jnp.concatenate(segs, axis=0),
+        segment_mask=jnp.concatenate(seg_masks, axis=0),
+        tri_verts=tri,
+        quad_verts=quad,
+        fill_shade=fill_shade,
+        stroke=stroke,
+    )
+
+
+def warp_shapes(shapes: Shapes, A: jax.Array, t: jax.Array) -> Shapes:
+    """Affine-transform all scene geometry: x' = A x + t."""
+
+    def pt(p):  # (..., 2)
+        return p @ A.T + t
+
+    segs = shapes.segments
+    return shapes._replace(
+        segments=jnp.concatenate([pt(segs[:, 0:2]), pt(segs[:, 2:4])], axis=-1),
+        tri_verts=pt(shapes.tri_verts),
+        quad_verts=pt(shapes.quad_verts),
+    )
+
+
+def random_affine(key, size: int = SIZE, max_rot: float = 0.35,
+                  scale_range=(0.85, 1.15), max_shift: float = 40.0):
+    """Affine about the image center (for co-visible training pairs)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    th = jax.random.uniform(k1, (), minval=-max_rot, maxval=max_rot)
+    s = jax.random.uniform(k2, (), minval=scale_range[0], maxval=scale_range[1])
+    c, sn = jnp.cos(th) * s, jnp.sin(th) * s
+    A = jnp.array([[c, -sn], [sn, c]])
+    center = jnp.asarray([size / 2.0, size / 2.0])
+    shift = jax.random.uniform(k3, (2,), minval=-max_shift, maxval=max_shift)
+    t = center - A @ center + shift
+    return A, t
+
+
+def render_from_shapes(key, shapes: Shapes, size: int = SIZE) -> Scene:
+    """Render geometry with random photometrics; extract ground truth."""
+    ks = jax.random.split(key, 4)
+    px = jax.lax.broadcasted_iota(jnp.float32, (size, size), 1) + 0.5
+    py = jax.lax.broadcasted_iota(jnp.float32, (size, size), 0) + 0.5
+
+    g = jax.random.uniform(ks[0], (4, 4), minval=0.35, maxval=0.85)
+    bg = jax.image.resize(g, (size, size), "bilinear")
+    n = jax.random.uniform(ks[1], (32, 32), minval=-0.04, maxval=0.04)
+    bg = bg + jax.image.resize(n, (size, size), "bilinear")
+
+    img = bg
+    polys = list(shapes.tri_verts) + list(shapes.quad_verts)
+    for v, s in zip(polys, shapes.fill_shade):
+        f = _poly_fill(px, py, v)
+        img = img * (1 - f) + jnp.clip(bg + s, 0.05, 0.95) * f
+
+    for i_chunk in range(0, MAX_SEGMENTS, 8):
+        chunk = shapes.segments[i_chunk: i_chunk + 8]
+        d = jax.vmap(lambda s: _seg_dist(px, py, s))(chunk)  # (≤8, H, W)
+        alpha = jnp.clip(1.6 - d, 0.0, 1.0)
+        cmask = shapes.segment_mask[i_chunk: i_chunk + 8].astype(jnp.float32)
+        cshade = shapes.stroke[i_chunk: i_chunk + 8]
+        img = img + jnp.sum(alpha * cmask[:, None, None] * cshade[:, None, None], axis=0)
+    img = jnp.clip(img, 0.0, 1.0)
+    img = jnp.clip(img + jax.random.normal(ks[2], (size, size)) * 0.02, 0.0, 1.0)
+
+    # ground-truth corners: segment endpoints, polygon vertices, crossings
+    segs = shapes.segments
+    smask = shapes.segment_mask
+    base_c = jnp.concatenate(
+        [segs[:N_SEG, 0:2], segs[:N_SEG, 2:4],
+         shapes.tri_verts.reshape(-1, 2), shapes.quad_verts.reshape(-1, 2)],
+        axis=0,
+    )
+    base_m = jnp.concatenate(
+        [smask[:N_SEG], smask[:N_SEG], jnp.ones((N_POLY_V,), bool)], axis=0
+    )
+    xpts, xmask = _seg_intersections(segs[:N_SEG], smask[:N_SEG])
+    _, sel = jax.lax.top_k(xmask.astype(jnp.float32), MAX_CROSS)
+    corners = jnp.concatenate([base_c, xpts[sel]], axis=0)
+    corner_mask = jnp.concatenate([base_m, xmask[sel]], axis=0)
+    corner_mask = corner_mask & jnp.all(
+        (corners > 4.0) & (corners < size - 4.0), axis=-1
+    )
+    in_img = jnp.all((segs.reshape(-1, 2, 2) > 2.0)
+                     & (segs.reshape(-1, 2, 2) < size - 2.0), axis=(1, 2))
+    return Scene(
+        image=img,
+        corners=corners,
+        corner_mask=corner_mask,
+        segments=segs,
+        segment_mask=smask & in_img,
+    )
+
+
+def render_scene(key, size: int = SIZE) -> Scene:
+    k1, k2 = jax.random.split(key)
+    return render_from_shapes(k2, sample_shapes(k1, size), size)
+
+
+def render_pair(key, size: int = SIZE):
+    """Two photometrically-independent renders of the same scene related by
+    a known affine — corner i in view 0 corresponds to corner i in view 1
+    (exact descriptor supervision)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    shapes = sample_shapes(k1, size)
+    A, t = random_affine(k2, size)
+    s0 = render_from_shapes(k3, shapes, size)
+    s1 = render_from_shapes(k4, warp_shapes(shapes, A, t), size)
+    return s0, s1
+
+
+def render_batch(key, batch: int, size: int = SIZE) -> Scene:
+    return jax.vmap(lambda k: render_scene(k, size))(jax.random.split(key, batch))
+
+
+def render_pair_batch(key, batch: int, size: int = SIZE):
+    return jax.vmap(lambda k: render_pair(k, size))(jax.random.split(key, batch))

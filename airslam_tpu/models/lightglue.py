@@ -25,7 +25,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from airslam_tpu.ops.attention import mha
+from airslam_tpu.ops.attention import flash_mha, mha
 
 
 def rotate_half_pairs(x):
@@ -75,6 +75,7 @@ class SelfBlock(nn.Module):
     dim: int
     heads: int
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, cos, sin, mask):
@@ -88,18 +89,22 @@ class SelfBlock(nn.Module):
         q, k, v = heads_first(q), heads_first(k), heads_first(v)
         q = apply_rotary(q, cos, sin)
         k = apply_rotary(k, cos, sin)
-        out = mha(q, k, v, kv_mask=mask)
+        attn = flash_mha if self.use_flash else mha
+        out = attn(q, k, v, kv_mask=mask)
         out = out.transpose(1, 0, 2).reshape(-1, self.dim)
         msg = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         return TokenUpdate(self.dim, dtype=self.dtype, name="update")(x, msg)
 
 
 class CrossBlock(nn.Module):
-    """Bidirectional cross-attention sharing one similarity matrix."""
+    """Bidirectional cross-attention sharing one similarity matrix (in flash
+    mode the two directions run as two fused kernels over the same Q/K
+    projections — numerically identical, no (N0, N1) HBM round trip)."""
 
     dim: int
     heads: int
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x0, x1, mask0, mask1):
@@ -114,13 +119,17 @@ class CrossBlock(nn.Module):
         qk0, qk1 = heads_first(to_qk(x0)), heads_first(to_qk(x1))
         v0, v1 = heads_first(to_v(x0)), heads_first(to_v(x1))
 
-        scale = 1.0 / jnp.sqrt(jnp.asarray(d, x0.dtype))
-        sim = jnp.einsum("hnd,hmd->hnm", qk0, qk1) * scale  # (H, N0, N1)
-        neg = jnp.asarray(-1e9, sim.dtype)
-        att01 = jax.nn.softmax(jnp.where(mask1[None, None, :], sim, neg), axis=-1)
-        att10 = jax.nn.softmax(jnp.where(mask0[None, :, None], sim, neg), axis=-2)
-        m0 = jnp.einsum("hnm,hmd->hnd", att01, v1)
-        m1 = jnp.einsum("hnm,hnd->hmd", att10, v0)
+        if self.use_flash:
+            m0 = flash_mha(qk0, qk1, v1, kv_mask=mask1)
+            m1 = flash_mha(qk1, qk0, v0, kv_mask=mask0)
+        else:
+            scale = 1.0 / jnp.sqrt(jnp.asarray(d, x0.dtype))
+            sim = jnp.einsum("hnd,hmd->hnm", qk0, qk1) * scale  # (H, N0, N1)
+            neg = jnp.asarray(-1e9, sim.dtype)
+            att01 = jax.nn.softmax(jnp.where(mask1[None, None, :], sim, neg), axis=-1)
+            att10 = jax.nn.softmax(jnp.where(mask0[None, :, None], sim, neg), axis=-2)
+            m0 = jnp.einsum("hnm,hmd->hnd", att01, v1)
+            m1 = jnp.einsum("hnm,hnd->hmd", att10, v0)
 
         def merge(t):
             return t.transpose(1, 0, 2).reshape(-1, self.dim)
@@ -136,6 +145,9 @@ class LightGlue(nn.Module):
     heads: int = 4
     layers: int = 9
     dtype: Any = jnp.float32
+    # Pallas flash-attention for the self/cross blocks (TPU default via
+    # MatcherConfig; falls back to plain XLA mha off-TPU automatically)
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, kpts0, desc0, mask0, kpts1, desc1, mask1):
@@ -147,16 +159,22 @@ class LightGlue(nn.Module):
         rot = FourierRotary(head_dim, name="rotary")
         cos0, sin0 = rot(kpts0)
         cos1, sin1 = rot(kpts1)
+        # keep q/k in the compute dtype through the rotary product — an f32
+        # cos/sin would promote every attention matmul to the 4×-slower f32
+        # MXU pass
+        cos0, sin0, cos1, sin1 = (t.astype(self.dtype) for t in (cos0, sin0, cos1, sin1))
 
         input_proj = nn.Dense(self.dim, dtype=self.dtype, name="input_proj")
         x0 = input_proj(desc0)
         x1 = input_proj(desc1)
 
         for i in range(self.layers):
-            sb = SelfBlock(self.dim, self.heads, dtype=self.dtype, name=f"self{i}")
+            sb = SelfBlock(self.dim, self.heads, dtype=self.dtype,
+                           use_flash=self.use_flash, name=f"self{i}")
             x0 = sb(x0, cos0, sin0, mask0)
             x1 = sb(x1, cos1, sin1, mask1)
-            x0, x1 = CrossBlock(self.dim, self.heads, dtype=self.dtype, name=f"cross{i}")(
+            x0, x1 = CrossBlock(self.dim, self.heads, dtype=self.dtype,
+                                use_flash=self.use_flash, name=f"cross{i}")(
                 x0, x1, mask0, mask1
             )
 

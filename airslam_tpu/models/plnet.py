@@ -36,13 +36,50 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from airslam_tpu.models.superpoint import VGGBackbone
-
 # Fixed decode budget (static shapes for XLA).
 NUM_JUNCTIONS = 300  # top-k junctions, = JN in plnet.cpp:284
 NUM_PROPOSALS_PER_CELL = 3  # lines_pred leading dim 128*128*3 (plnet.cpp:469)
 LOI_POINTS = 16  # samples along each candidate line
 LOI_DIM = 128
+
+
+class PLNetBackbone(nn.Module):
+    """TPU-first shared encoder for the unified point+line detector.
+
+    The reference's s0 engine wraps a SuperPoint-style VGG trunk (no trained
+    s0 checkpoint ships, so the trunk is free to be redesigned; only the
+    OUTPUT CONTRACT of plnet.cpp:453-462 is fixed). Design for the MXU/HBM:
+
+    - space-to-depth stem (2×2 pixels → channels) so no 3×3 conv ever runs at
+      512² — the classic SuperPoint conv1b alone is 19 GFLOP/view at 512²,
+      ~60% of the whole backbone, and is memory-bound on its 33 MB
+      activations; folding it to 256² is 4× cheaper in both FLOPs and HBM
+      traffic with the same receptive field per output pixel.
+    - channel widths rise 64→128 at stride 4 so the deepest convs (where 3×3
+      work is 16× cheaper per channel than at stride 1) carry the capacity.
+
+    Returns (feat (B, 64, 64, 128) at stride 8, {"c3": (B, 128, 128, 128)})
+    — the same tensors the heads consume.
+    """
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        # space-to-depth: (B, H, W, 1) -> (B, H/2, W/2, 4)
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv1a")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv1b")(x))
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))  # /4
+        x = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="conv2a")(x))
+        x = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="conv2b")(x))
+        c3 = x  # stride 4, 128 ch
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))  # /8
+        x = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="conv3a")(x))
+        x = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="conv3b")(x))
+        return x, {"c3": c3}
 
 
 class LineHeadTrunk(nn.Module):
@@ -55,10 +92,10 @@ class LineHeadTrunk(nn.Module):
         b, h8, w8, _ = c4.shape
         up = jax.image.resize(c4, (b, h8 * 2, w8 * 2, c4.shape[-1]), "bilinear")
         x = jnp.concatenate([c3, up], axis=-1)
-        # 128-wide trunk: at stride 4 (128x128) two 256-ch convs would cost
-        # ~38 GFLOP/view and dominate the frontend; 128 channels keep the
-        # heads expressive at a quarter of the cost
-        x = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="fuse1")(x))
+        # 1×1 reduce before the 3×3: a 3×3 conv straight off the 256-ch
+        # concat costs 9.7 GFLOP/view at 128²; reduce (1.2) + 3×3 on 128
+        # (4.8) keeps the trunk 128-wide at ~60% of the FLOPs
+        x = nn.relu(nn.Conv(128, (1, 1), dtype=self.dtype, name="fuse0")(x))
         x = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="fuse2")(x))
         return x
 
@@ -71,7 +108,7 @@ class PLNet(nn.Module):
 
     @nn.compact
     def __call__(self, image):
-        feat, skips = VGGBackbone(dtype=self.dtype, name="backbone")(image)
+        feat, skips = PLNetBackbone(dtype=self.dtype, name="backbone")(image)
 
         # -- SuperPoint heads (identical structure to models/superpoint.py) --
         cpa = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="convPa")(feat))
@@ -110,6 +147,7 @@ class PLNet(nn.Module):
 
         return {
             "scores": scores,
+            "kp_logits": logits.astype(jnp.float32),  # (B, 64, 64, 65) for training CE
             "descriptors": desc,
             "junc_heat": junc_heat,
             "junc_offset": junc_offset,

@@ -68,4 +68,8 @@ class SuperPoint(nn.Module):
         desc = desc.astype(jnp.float32)
         desc = desc / jnp.clip(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
 
-        return {"scores": scores, "descriptors": desc}
+        return {
+            "scores": scores,
+            "kp_logits": logits.astype(jnp.float32),  # for the training CE
+            "descriptors": desc,
+        }

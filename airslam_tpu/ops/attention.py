@@ -38,10 +38,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     k = k_ref[0]
     v = v_ref[0]
     d = q.shape[-1]
-    # HIGHEST precision: f32 MXU passes so the kernel matches the XLA path
+    # Precision per matmul: bf16 operands use the native bf16 MXU pass with
+    # f32 accumulation (Mosaic rejects a HIGHEST/fp32 contract on a bf16
+    # lhs — "Bad lhs type"); f32 operands take HIGHEST. q/k and v can have
+    # different dtypes (rotary embedding promotes q/k to f32 upstream).
+    def _prec(dt):
+        return (jax.lax.Precision.HIGHEST if dt == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+
+    k = k.astype(q.dtype)
     logits = jnp.dot(
-        q, k.T, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        q, k.T, preferred_element_type=jnp.float32, precision=_prec(q.dtype),
     ) / jnp.sqrt(jnp.asarray(d, jnp.float32))
     logits = jnp.where(mask_ref[0][None, :] > 0, logits, _NEG)
     m = jnp.max(logits, axis=-1, keepdims=True)
@@ -49,7 +56,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     denom = jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_prec(v.dtype),
     ) / denom
     o_ref[0] = o.astype(o_ref.dtype)
 

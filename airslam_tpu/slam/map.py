@@ -465,10 +465,20 @@ class Map:
             else:
                 self.update_mapline_endpoints(mpl)
 
+    # beyond this window size the dense (P, F) grid formulation is replaced
+    # by the sparse observation-list GlobalBA (backend/global_ba.py)
+    DENSE_BA_MAX_FRAMES = 64
+
     def global_bundle_adjustment(self, iters1: int = 50, iters2: int = 40):
         """Full-map BA over all keyframes/landmarks (``GlobalBA``,
         g2o_optimization.cc:1488-1959): robust pass → outlier rejection →
-        second pass, first keyframe fixed."""
+        second pass, first keyframe fixed.
+
+        Small maps reuse the dense windowed program (zero gathers, one
+        compiled executable); past ``DENSE_BA_MAX_FRAMES`` keyframes the
+        sparse observation-list solver takes over — O(observations) memory
+        instead of O(points × keyframes) (the reference's sparse g2o scale,
+        TPU-style)."""
         if len(self.keyframes) < 2:
             return
         frames = [self.keyframes[fid] for fid in reversed(self.keyframe_ids)]
@@ -476,6 +486,9 @@ class Map:
         pose_fixed[-1] = True  # oldest keyframe (newest-first ordering)
         mpts = [m for m in self.mappoints.values() if m.is_valid and m.observers]
         mpls = [l for l in self.maplines.values() if l.is_valid and l.observers]
+        if len(frames) > self.DENSE_BA_MAX_FRAMES:
+            self._sparse_global_ba(frames, pose_fixed, mpts, mpls, iters1, iters2)
+            return
         problem, layout = self._build_problem(
             frames, pose_fixed, mpts, mpls, pad_frames=_bucket(len(frames), 8)
         )
@@ -485,6 +498,182 @@ class Map:
             problem, self._intr, self.ba_config, iters1=iters1, iters2=iters2
         )
         self._write_back(out, p_in, l_in, frames, pose_fixed, mpts, mpls, layout)
+
+    def _sparse_global_ba(self, frames, pose_fixed, mpts, mpls, iters1, iters2,
+                          max_obs: int = 16):
+        """Map-scale GlobalBA on the sparse observation-list solver (visual
+        factors; the IMU chain is handled by the dense path at window scale).
+        Points observed more than ``max_obs`` times keep their strongest
+        ``max_obs`` constraints in the Schur pairing (all obs still gate)."""
+        from airslam_tpu.backend import global_ba as gba
+
+        prob, layout = self._build_sparse_problem(frames, pose_fixed, mpts, mpls,
+                                                  max_obs=max_obs)
+        if prob is None:
+            return
+        out, p_in, l_in = gba.global_ba(
+            prob, self._intr, self.ba_config, iters1=iters1, iters2=iters2
+        )
+        self._write_back_sparse(out, p_in, l_in, frames, pose_fixed, mpts, mpls, layout)
+
+    def _build_sparse_problem(self, frames, pose_fixed, mpts, mpls, max_obs=16):
+        from airslam_tpu.backend import global_ba as gba
+
+        f = len(frames)
+        p_real, l_real = len(mpts), len(mpls)
+        if p_real == 0 and l_real == 0:
+            return None, None
+        frame_index = {fr.frame_id: k for k, fr in enumerate(frames)}
+
+        points = np.zeros((max(p_real, 1), 3))
+        pobs_pidx, pobs_fidx, pobs = [], [], []
+        for j, mpt in enumerate(mpts):
+            points[j] = mpt.position
+            for fid, idx in mpt.observers.items():
+                k = frame_index.get(fid)
+                if k is None:
+                    continue
+                kf = self.keyframes.get(fid) or frames[k]
+                pobs_pidx.append(j)
+                pobs_fidx.append(k)
+                pobs.append(kf.keypoint_position(idx))
+        n_real = len(pobs)
+        N = _bucket(max(n_real, 1), 256)
+        pobs_arr = np.zeros((N, 3))
+        pobs_arr[:, 2] = -1.0
+        if n_real:
+            pobs_arr[:n_real] = np.asarray(pobs)
+        ppidx = np.zeros(N, np.int32)
+        pfidx = np.zeros(N, np.int32)
+        ppidx[:n_real] = pobs_pidx
+        pfidx[:n_real] = pobs_fidx
+        pmask = np.zeros(N, bool)
+        pmask[:n_real] = True
+
+        lines = np.tile(np.array([1.0, 0, 0, 0, 1.0, 0]), (max(l_real, 1), 1))
+        lobs_lidx, lobs_fidx, lobs, lster, lsig = [], [], [], [], []
+        for j, mpl in enumerate(mpls):
+            lines[j] = mpl.line3d
+            sig = 0.1 if len(mpl.observers) > 3 else 0.001
+            for fid, idx in mpl.observers.items():
+                k = frame_index.get(fid)
+                if k is None:
+                    continue
+                kf = self.keyframes.get(fid) or frames[k]
+                row = np.zeros(8)
+                row[0:4] = kf.lines[idx]
+                stereo = bool(kf.lines_right_valid[idx])
+                if stereo:
+                    row[4:8] = kf.lines_right[idx]
+                lobs_lidx.append(j)
+                lobs_fidx.append(k)
+                lobs.append(row)
+                lster.append(stereo)
+                lsig.append(sig)
+        m_real = len(lobs)
+        M = _bucket(max(m_real, 1), 64)
+        lobs_arr = np.zeros((M, 8))
+        if m_real:
+            lobs_arr[:m_real] = np.asarray(lobs)
+        llidx = np.zeros(M, np.int32)
+        lfidx = np.zeros(M, np.int32)
+        llidx[:m_real] = lobs_lidx
+        lfidx[:m_real] = lobs_fidx
+        lmask = np.zeros(M, bool)
+        lmask[:m_real] = True
+        lster_arr = np.zeros(M, bool)
+        lster_arr[:m_real] = lster
+        lsig_arr = np.full(M, 0.001)
+        lsig_arr[:m_real] = lsig
+
+        ptable = gba.build_obs_table(points.shape[0], ppidx, pmask, N, max_obs)
+        ltable = gba.build_obs_table(lines.shape[0], llidx, lmask, M, max_obs)
+
+        Tcb = self.camera.Tcb if hasattr(self.camera, "Tcb") else np.eye(4)
+        Rwb = np.tile(np.eye(3), (f, 1, 1))
+        twb = np.zeros((f, 3))
+        for k, fr in enumerate(frames):
+            Twb = fr.Twc @ Tcb
+            Rwb[k] = Twb[:3, :3]
+            twb[k] = Twb[:3, 3]
+
+        prob = gba.SparseBAProblem(
+            Rwb=jnp.asarray(Rwb), twb=jnp.asarray(twb),
+            pose_fixed=jnp.asarray(pose_fixed),
+            points=jnp.asarray(points),
+            pobs_pidx=jnp.asarray(ppidx), pobs_fidx=jnp.asarray(pfidx),
+            pobs=jnp.asarray(pobs_arr), pobs_mask=jnp.asarray(pmask),
+            point_obs_table=jnp.asarray(ptable),
+            lines=jnp.asarray(lines),
+            lobs_lidx=jnp.asarray(llidx), lobs_fidx=jnp.asarray(lfidx),
+            lobs=jnp.asarray(lobs_arr), lobs_stereo=jnp.asarray(lster_arr),
+            lobs_mask=jnp.asarray(lmask), lobs_sigma=jnp.asarray(lsig_arr),
+            line_obs_table=jnp.asarray(ltable),
+            Rcb=jnp.asarray(Tcb[:3, :3]), tcb=jnp.asarray(Tcb[:3, 3]),
+        )
+        return prob, (frame_index, n_real, m_real)
+
+    def _write_back_sparse(self, out, p_in, l_in, frames, pose_fixed,
+                           mpts, mpls, layout):
+        frame_index, n_real, m_real = layout
+        Tcb = self.camera.Tcb if hasattr(self.camera, "Tcb") else np.eye(4)
+        Tbc = np.linalg.inv(Tcb)
+        Rwb = np.asarray(out.Rwb)
+        twb = np.asarray(out.twb)
+        for k, fr in enumerate(frames):
+            if pose_fixed[k]:
+                continue
+            Twb = np.eye(4)
+            Twb[:3, :3] = Rwb[k]
+            Twb[:3, 3] = twb[k]
+            fr.Twc = Twb @ Tbc
+
+        pts = np.asarray(out.points)
+        p_in = np.asarray(p_in)
+        pidx = np.asarray(out.pobs_pidx)
+        fidx = np.asarray(out.pobs_fidx)
+        inv_frame = {k: fid for fid, k in frame_index.items()}
+        for j, mpt in enumerate(mpts):
+            mpt.set_position(pts[j])
+        for oi in range(n_real):
+            if p_in[oi]:
+                continue
+            mpt = mpts[pidx[oi]]
+            fid = inv_frame[fidx[oi]]
+            if fid in mpt.observers:
+                kf = self.keyframes.get(fid)
+                if kf is not None:
+                    idx = mpt.observers[fid]
+                    kf.mappoint_ids[idx] = -1
+                    kf.track_ids[idx] = -1
+                mpt.remove_observer(fid)
+        for mpt in mpts:
+            if len(mpt.observers) == 0:
+                mpt.set_bad()
+
+        lns = np.asarray(out.lines)
+        l_in = np.asarray(l_in)
+        lidx = np.asarray(out.lobs_lidx)
+        lfidx = np.asarray(out.lobs_fidx)
+        for j, mpl in enumerate(mpls):
+            mpl.set_line3d(lns[j])
+        for oi in range(m_real):
+            if l_in[oi]:
+                continue
+            mpl = mpls[lidx[oi]]
+            fid = inv_frame[lfidx[oi]]
+            if fid in mpl.observers:
+                kf = self.keyframes.get(fid)
+                if kf is not None:
+                    idx = mpl.observers[fid]
+                    kf.mapline_ids[idx] = -1
+                    kf.line_track_ids[idx] = -1
+                mpl.remove_observer(fid)
+        for mpl in mpls:
+            if len(mpl.observers) == 0:
+                mpl.set_bad()
+            else:
+                self.update_mapline_endpoints(mpl)
 
     def update_covisibility_graph(self):
         """Rebuild the whole covisibility graph (map.cc:1385-1418)."""

@@ -170,7 +170,7 @@ def main():
 
     @stage("loi_head")
     def _(c, _x):
-        out = jax.vmap(lambda l, f, t, a: det.loi.apply(loip, l, f, t, a))(
+        out = jax.vmap(lambda l, f, t, a: det.loi.apply(loip, l, l, f, t, a))(
             jiggle(cand2, c), loi2, thin2, aux2
         )
         return consume(out) * 1e-9 + c

@@ -1,0 +1,163 @@
+"""Sparse observation-list GlobalBA (backend/global_ba.py): equivalence with
+the dense windowed solver on small problems, and bounded-memory operation at
+map scale (1,000 keyframes / 100k points — the scale the dense (P, F) grid
+cannot represent)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from airslam_tpu.backend import gn, global_ba as gba, windows
+from tests.synthetic import make_point_scene, build_problem
+
+
+def _dense_to_sparse(prob: gn.BAProblem, max_obs=16, dtype=jnp.float64):
+    """Convert a dense-grid BAProblem (points only) to the obs-list form."""
+    obs = np.asarray(prob.point_obs)
+    mask = np.asarray(prob.point_obs_mask)
+    P, F = mask.shape
+    pidx, fidx, rows = [], [], []
+    for p in range(P):
+        for f in range(F):
+            if mask[p, f]:
+                pidx.append(p)
+                fidx.append(f)
+                rows.append(obs[p, f])
+    n = len(rows)
+    ppidx = np.asarray(pidx, np.int32)
+    pfidx = np.asarray(fidx, np.int32)
+    pobs = np.asarray(rows)
+    pmask = np.ones(n, bool)
+    table = gba.build_obs_table(P, ppidx, pmask, n, max_obs)
+    L = prob.lines.shape[0]
+    return gba.SparseBAProblem(
+        Rwb=prob.frames.Rwb.astype(dtype), twb=prob.frames.twb.astype(dtype),
+        pose_fixed=prob.pose_fixed,
+        points=prob.points.astype(dtype),
+        pobs_pidx=jnp.asarray(ppidx), pobs_fidx=jnp.asarray(pfidx),
+        pobs=jnp.asarray(pobs, dtype), pobs_mask=jnp.asarray(pmask),
+        point_obs_table=jnp.asarray(table),
+        lines=prob.lines.astype(dtype),
+        lobs_lidx=jnp.zeros(1, jnp.int32), lobs_fidx=jnp.zeros(1, jnp.int32),
+        lobs=jnp.zeros((1, 8), dtype), lobs_stereo=jnp.zeros(1, bool),
+        lobs_mask=jnp.zeros(1, bool), lobs_sigma=jnp.full((1,), 0.001, dtype),
+        line_obs_table=jnp.full((L, 1), 1, jnp.int32),
+        Rcb=prob.Rcb.astype(dtype), tcb=prob.tcb.astype(dtype),
+    )
+
+
+def test_sparse_matches_dense():
+    rng = np.random.RandomState(0)
+    scene = make_point_scene(f=5, p=80, rng=rng)
+    from scipy.spatial.transform import Rotation
+    Rp = scene["Rwb"].copy()
+    tp = scene["twb"].copy()
+    for i in range(1, 5):
+        Rp[i] = Rp[i] @ Rotation.from_rotvec(rng.randn(3) * 0.02).as_matrix()
+        tp[i] = tp[i] + rng.randn(3) * 0.05
+    pts0 = scene["points"] + rng.randn(80, 3) * 0.05
+    prob = build_problem(scene, Rwb=Rp, twb=tp, points=pts0)
+
+    ref, p_in_ref, _ = windows.local_ba(prob, scene["intr"], iters1=4, iters2=8)
+    sp = _dense_to_sparse(prob)
+    out, p_in, _ = gba.global_ba(sp, scene["intr"], gn.BAConfig(),
+                                 iters1=4, iters2=8, chunk=32)
+    np.testing.assert_allclose(np.asarray(out.twb), np.asarray(ref.frames.twb),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.points), np.asarray(ref.points),
+                               atol=1e-7)
+    # same inlier decisions, reshaped to the grid
+    grid = np.zeros(np.asarray(prob.point_obs_mask).shape, bool)
+    grid[np.asarray(sp.pobs_pidx), np.asarray(sp.pobs_fidx)] = np.asarray(p_in)
+    assert np.array_equal(grid, np.asarray(p_in_ref) & np.asarray(prob.point_obs_mask))
+
+
+def test_sparse_gates_outliers():
+    rng = np.random.RandomState(1)
+    scene = make_point_scene(f=6, p=60, rng=rng)
+    obs = scene["obs"].copy()
+    bad = rng.choice(60, 6, replace=False)
+    obs[bad, 2, 0] += 90.0
+    scene = dict(scene, obs=obs)
+    prob = build_problem(scene)
+    sp = _dense_to_sparse(prob)
+    out, p_in, _ = gba.global_ba(sp, scene["intr"], gn.BAConfig(),
+                                 iters1=3, iters2=5, chunk=32)
+    p_in = np.asarray(p_in)
+    pidx = np.asarray(sp.pobs_pidx)
+    fidx = np.asarray(sp.pobs_fidx)
+    for oi in range(len(p_in)):
+        expect = not (pidx[oi] in bad and fidx[oi] == 2)
+        assert p_in[oi] == expect, (pidx[oi], fidx[oi])
+
+
+@pytest.mark.slow
+def test_map_scale_1000kf_100kpts():
+    """The VERDICT regression: 1,000 keyframes / 100k points in bounded
+    memory. Observations are O(600k) — the dense grid would need a
+    (100k × 1000, 3, 9) Jacobian (terabytes); the sparse path peaks at the
+    (F, F, 6, 6) reduced matrix (~288 MB f64)."""
+    rng = np.random.RandomState(2)
+    F, P, OBS_PER = 1000, 100_000, 6
+    # circular trajectory, f32 world
+    th = np.linspace(0, 2 * np.pi, F, endpoint=False)
+    twb = np.stack([30 * np.cos(th), 30 * np.sin(th), np.zeros(F)], -1)
+    Rwb = np.tile(np.eye(3), (F, 1, 1))
+    pts = twb[rng.randint(0, F, P)] + np.stack(
+        [rng.uniform(-3, 3, P), rng.uniform(-3, 3, P), rng.uniform(4, 9, P)], -1
+    )
+    from tests.synthetic import default_intrinsics
+    intr = default_intrinsics(jnp.float64)
+    fx, fy = float(intr.fx), float(intr.fy)
+    cx, cy = float(intr.cx), float(intr.cy)
+    bf = float(intr.bf)
+
+    # each point observed by OBS_PER consecutive frames near its anchor
+    anchor = rng.randint(0, F - OBS_PER, P)
+    pidx = np.repeat(np.arange(P, dtype=np.int32), OBS_PER)
+    fidx = (anchor[:, None] + np.arange(OBS_PER)[None, :]).astype(np.int32).ravel()
+    rel = pts[pidx] - twb[fidx]  # identity rotations: camera frame = world
+    z = rel[:, 2]
+    ok = z > 0.5
+    u = fx * rel[:, 0] / z + cx
+    v = fy * rel[:, 1] / z + cy
+    ur = u - bf / z
+    pobs = np.stack([u, v, ur], -1)
+    ok &= (u > -200) & (u < 1000) & (v > -200) & (v < 700)
+    n = len(pidx)
+
+    table = gba.build_obs_table(P, pidx, ok, n, 8)
+    # perturb geometry; first frame fixed
+    twb0 = twb + rng.randn(F, 3) * 0.02
+    twb0[0] = twb[0]
+    pts0 = pts + rng.randn(P, 3) * 0.05
+    pose_fixed = np.zeros(F, bool)
+    pose_fixed[0] = True
+
+    dt = jnp.float32
+    sp = gba.SparseBAProblem(
+        Rwb=jnp.asarray(Rwb, dt), twb=jnp.asarray(twb0, dt),
+        pose_fixed=jnp.asarray(pose_fixed),
+        points=jnp.asarray(pts0, dt),
+        pobs_pidx=jnp.asarray(pidx), pobs_fidx=jnp.asarray(fidx),
+        pobs=jnp.asarray(pobs, dt), pobs_mask=jnp.asarray(ok),
+        point_obs_table=jnp.asarray(table),
+        lines=jnp.tile(jnp.asarray([1.0, 0, 0, 0, 1, 0], dt), (1, 1)),
+        lobs_lidx=jnp.zeros(1, jnp.int32), lobs_fidx=jnp.zeros(1, jnp.int32),
+        lobs=jnp.zeros((1, 8), dt), lobs_stereo=jnp.zeros(1, bool),
+        lobs_mask=jnp.zeros(1, bool), lobs_sigma=jnp.full((1,), 0.001, dt),
+        line_obs_table=jnp.full((1, 1), 1, jnp.int32),
+        Rcb=jnp.eye(3, dtype=dt), tcb=jnp.zeros(3, dt),
+    )
+    intr32 = jax.tree_util.tree_map(lambda x: jnp.asarray(x, dt), intr)
+    cfg = gn.BAConfig()
+    cost0 = float(gba._total_cost(sp, intr32, cfg, False))
+    err0 = float(jnp.abs(sp.twb - jnp.asarray(twb, dt)).mean())
+    out = gba.optimize(sp, intr32, cfg, iterations=3, robust=False, chunk=4096)
+    cost1 = float(gba._total_cost(out, intr32, cfg, False))
+    err1 = float(jnp.abs(out.twb - jnp.asarray(twb, dt)).mean())
+    # exact-data problem: reprojection cost collapses; mean pose error drops
+    # (max error can persist at weakly-observed chain-end frames)
+    assert cost1 < cost0 * 1e-3, (cost0, cost1)
+    assert err1 < err0 * 0.5, (err0, err1)
