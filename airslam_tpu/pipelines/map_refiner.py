@@ -430,50 +430,146 @@ class MapRefiner:
         self.map.update_covisibility_graph()
 
     def merge_maplines(self):
-        """Merge maplines that share ≥2 merged mappoint supports via their
-        point-on-line relations (map_refiner.cc:744-954 condensed)."""
-        by_frame_line = {}
-        for mpl in list(self.map.maplines.values()):
-            if not mpl.is_valid:
-                continue
-        # After mappoint merging, duplicate maplines are those whose observed
-        # 2D lines now share supporting track ids across loop frames.
-        support: Dict[int, Set[int]] = {}
-        for ltid, mpl in self.map.maplines.items():
-            tids = set()
-            for fid, lidx in mpl.observers.items():
-                kf = self.map.keyframes.get(fid)
-                if kf is None:
+        """Merge duplicate maplines after mappoint merging
+        (``MergeMaplines``, map_refiner.cc:715-954):
+
+        1. associate mappoints ↔ maplines through the per-frame
+           points-on-lines relations;
+        2. count shared mappoints per mapline pair (keyed by each sharing
+           point's first mapline, like the reference's std::set ordering);
+        3. pair gating: ≥5 shared mappoints merges outright; 3..4 shared
+           additionally require the geometric same-line check — project the
+           keeper's 3D line into every observer of the other and bound the
+           normalized endpoint-to-line distance (map_refiner.cc:758-813; the
+           shipped binary short-circuits this lambda with an early
+           ``return true`` — we run the actual check it contains);
+        4. union-find over the pair graph (replacing the reference's
+           iterative group-relabeling, map_refiner.cc:851-888);
+        5. per group keep the first valid line, absorb observers,
+           re-triangulate if needed, delete the rest
+           (``MergeMaplineGroup``, map_refiner.cc:909-954).
+        """
+        m = self.map
+        # 1. mappoint -> set of mapline ids
+        maplines_of_mpt: Dict[int, Set[int]] = {}
+        for kf in m.keyframes.values():
+            for lidx in np.nonzero(kf.mapline_ids >= 0)[0]:
+                mid = int(kf.mapline_ids[lidx])
+                if mid not in m.maplines:
                     continue
                 for pidx in np.nonzero(kf.points_on_lines[lidx])[0]:
-                    t = int(kf.track_ids[pidx])
-                    if t >= 0:
-                        tids.add(t)
-            support[ltid] = tids
-        ids = sorted(support)
-        merged = set()
-        for i, a in enumerate(ids):
-            if a in merged:
+                    pid = int(kf.mappoint_ids[pidx])
+                    if pid >= 0 and pid in m.mappoints:
+                        maplines_of_mpt.setdefault(pid, set()).add(mid)
+
+        # 2. shared-support counts keyed by the pair's smallest id
+        counts: Dict[int, Dict[int, int]] = {}
+        for mpl_ids in maplines_of_mpt.values():
+            if len(mpl_ids) < 2:
                 continue
-            for b in ids[i + 1:]:
-                if b in merged:
+            best = min(mpl_ids)
+            row = counts.setdefault(best, {})
+            for mid in mpl_ids:
+                row[mid] = row.get(mid, 0) + 1
+
+        # 3. gate pairs (SharingMappointNum1=3, Num2=5, map_refiner.cc:817)
+        parent: Dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for best, row in counts.items():
+            if best not in m.maplines:
+                continue
+            for mid, num in row.items():
+                if mid == best or num < 3 or mid not in m.maplines:
                     continue
-                common = support[a] & support[b]
-                if len(common) >= 2 and not (
-                    set(self.map.maplines[a].observers) & set(self.map.maplines[b].observers)
-                ):
-                    keeper = self.map.maplines[a]
-                    victim = self.map.maplines[b]
-                    for fid, lidx in victim.observers.items():
-                        kf = self.map.keyframes.get(fid)
-                        if kf is not None:
-                            kf.line_track_ids[lidx] = a
-                            kf.mapline_ids[lidx] = a
-                        if fid not in keeper.observers:
-                            keeper.add_observer(fid, lidx)
-                    merged.add(b)
-        for b in merged:
-            del self.map.maplines[b]
+                if num < 5:
+                    a, b = m.maplines[best], m.maplines[mid]
+                    if a.is_valid:
+                        ok = self._check_is_same_line(a, b, 0.25)
+                    elif b.is_valid:
+                        ok = self._check_is_same_line(b, a, 0.25)
+                    else:
+                        ok = False
+                    if not ok:
+                        continue
+                union(best, mid)
+
+        groups: Dict[int, List[int]] = {}
+        for mid in list(parent):
+            groups.setdefault(find(mid), []).append(mid)
+
+        # 5. merge each group
+        for members in groups.values():
+            if len(members) < 2:
+                continue
+            members = sorted(members)
+            keeper_id = next((i for i in members if m.maplines[i].is_valid),
+                             members[0])
+            keeper = m.maplines[keeper_id]
+            for mid in members:
+                if mid == keeper_id:
+                    continue
+                victim = m.maplines[mid]
+                for fid, lidx in victim.observers.items():
+                    kf = m.keyframes.get(fid)
+                    if kf is not None:
+                        kf.line_track_ids[lidx] = keeper_id
+                        kf.mapline_ids[lidx] = keeper_id
+                    if fid not in keeper.observers:
+                        keeper.add_observer(fid, lidx)
+                del m.maplines[mid]
+            if not keeper.is_valid:
+                m.triangulate_mapline_by_mappoints(keeper)
+            if keeper.is_valid:
+                m.update_mapline_endpoints(keeper)
+
+    def _check_is_same_line(self, mpl1, mpl2, thr: float) -> bool:
+        """Geometric same-line gate: reproject ``mpl1``'s 3D line into every
+        observer of ``mpl2``; both endpoints of the observed 2D segment must
+        lie within the normalized point-to-line bound
+        error² ≤ H·W·thr² (map_refiner.cc:758-813)."""
+        m = self.map
+        cam = m.camera
+        intr = m._intr
+        fx, fy = float(intr.fx), float(intr.fy)
+        cx, cy = float(intr.cx), float(intr.cy)
+        H = float(getattr(cam, "image_height", 480))
+        W = float(getattr(cam, "image_width", 752))
+        err_thr = H * W * thr * thr
+        lw = np.asarray(mpl1.line3d)  # Plücker (w, d)
+        for fid, lidx in mpl2.observers.items():
+            kf = m.keyframes.get(fid)
+            if kf is None:
+                continue
+            obs = kf.lines[lidx]  # (x1, y1, x2, y2)
+            Twc = kf.Twc
+            Rcw = Twc[:3, :3].T
+            tcw = -Rcw @ Twc[:3, 3]
+            # Plücker transform: w_c = R w + [t]× R d, d_c = R d
+            w_c = Rcw @ lw[:3] + np.cross(tcw, Rcw @ lw[3:])
+            l2d = np.array([
+                fy * w_c[0],
+                fx * w_c[1],
+                -fy * cx * w_c[0] - fx * cy * w_c[1] + fx * fy * w_c[2],
+            ])
+            nrm = np.hypot(l2d[0], l2d[1])
+            if nrm < 1e-12:
+                return False
+            e1 = (obs[0] * l2d[0] + obs[1] * l2d[1] + l2d[2]) / nrm
+            e2 = (obs[2] * l2d[0] + obs[3] * l2d[1] + l2d[2]) / nrm
+            if e1 * e1 > err_thr or e2 * e2 > err_thr:
+                return False
+        return True
 
     # ------------------------------------------------------------------
 
