@@ -16,6 +16,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from airslam_tpu.loopclosure.vocabulary import Vocabulary
+from airslam_tpu.utils import native
 
 
 class Database:
@@ -24,6 +25,13 @@ class Database:
         self.inverted_file: Dict[int, Dict[int, List[int]]] = {}
         self.frame_bow: Dict[int, dict] = {}  # frame_id -> {word: weight}
         self.frame_words: Dict[int, np.ndarray] = {}  # frame_id -> per-feature word ids
+        # CSR mirror of the inverted file for the native query kernel:
+        # rebuilt amortized (when the db grows 25% past the last build);
+        # postings added since the last build live in _delta and are walked
+        # in Python (always a small tail).
+        self._csr = None  # (offsets int64 (W+1,), frames int32, slot->fid list)
+        self._csr_n = 0
+        self._delta: Dict[int, List[int]] = {}
 
     # -- FrameToBow (database.cc:58-91) -------------------------------------
 
@@ -49,14 +57,45 @@ class Database:
         self.frame_words[frame_id] = np.asarray(wids)
         for wid, idxs in word_features.items():
             self.inverted_file.setdefault(wid, {})[frame_id] = list(idxs)
+            self._delta.setdefault(wid, []).append(frame_id)
 
     # -- Query (database.cc:111-123) -----------------------------------------
 
+    def _rebuild_csr(self):
+        slots = sorted(self.frame_bow)
+        slot_of = {fid: i for i, fid in enumerate(slots)}
+        W = (max(self.inverted_file) + 1) if self.inverted_file else 1
+        counts = np.zeros(W + 1, np.int64)
+        for wid, frames in self.inverted_file.items():
+            counts[wid + 1] = len(frames)
+        offsets = np.cumsum(counts)
+        frames_arr = np.zeros(int(offsets[-1]), np.int32)
+        cur = offsets[:-1].copy()
+        for wid, frames in self.inverted_file.items():
+            for fid in frames:
+                frames_arr[cur[wid]] = slot_of[fid]
+                cur[wid] += 1
+        self._csr = (offsets, frames_arr, slots)
+        self._csr_n = len(slots)
+        self._delta = {}
+
     def query(self, vec: dict) -> Dict[int, int]:
-        """Shared-word counts per stored frame."""
-        counts: Dict[int, int] = {}
+        """Shared-word counts per stored frame — CSR scan in the native
+        kernel (utils/native.py::invfile_query) plus a Python walk of the
+        small post-build delta; identical counts to the reference's
+        inverted-file walk (database.cc:111-123)."""
+        if not self.frame_bow:
+            return {}
+        if self._csr is None or len(self.frame_bow) > self._csr_n * 1.25 + 8:
+            self._rebuild_csr()
+        offsets, frames_arr, slots = self._csr
+        qwords = np.fromiter(vec.keys(), np.int32, len(vec))
+        c = native.invfile_query(qwords, offsets, frames_arr, len(slots))
+        counts: Dict[int, int] = {
+            slots[i]: int(c[i]) for i in np.nonzero(c)[0]
+        }
         for wid in vec:
-            for fid in self.inverted_file.get(wid, {}):
+            for fid in self._delta.get(wid, ()):
                 counts[fid] = counts.get(fid, 0) + 1
         return counts
 
@@ -87,3 +126,6 @@ class Database:
         self.inverted_file = d["inverted_file"]
         self.frame_bow = d["frame_bow"]
         self.frame_words = d["frame_words"]
+        self._csr = None
+        self._csr_n = 0
+        self._delta = {}

@@ -62,11 +62,12 @@ INIT_TWC = np.array(
 class MapBuilder:
     def __init__(self, camera, detector, matcher, kf_config: Optional[KeyframeConfig] = None,
                  ba_config=None, match_threshold: Optional[float] = None,
-                 publisher=None):
+                 publisher=None, use_jax_pnp: bool = False):
         """detector/matcher: FeatureDetector / PointMatcher (or test doubles
         with the same interface). ``publisher``: optional io.publisher.Publisher
         receiving frame-pose / keyframe / map messages (the RosPublisher role,
-        map_builder.cc:497-548)."""
+        map_builder.cc:497-548). ``use_jax_pnp``: device-resident RANSAC DLT
+        (backend/pnp.py) instead of cv2.solvePnPRansac."""
         self.camera = camera
         self.detector = detector
         self.matcher = matcher
@@ -74,6 +75,7 @@ class MapBuilder:
         self.map = Map(camera, ba_config)
         self.match_threshold = match_threshold
         self.publisher = publisher
+        self.use_jax_pnp = use_jax_pnp
 
         self.init = False
         self.insert_next_keyframe = True

@@ -111,9 +111,8 @@ class MapRefiner:
         if not cands:
             return
 
-        scores = {
-            f: self.database.score(self.database.frame_bow[f], vec) for f in cands
-        }
+        cand_ids = list(cands)
+        scores = dict(zip(cand_ids, self.database.batched_scores(vec, cand_ids)))
 
         # grouping with deputies (map_refiner.cc:132-172)
         groups: Dict[int, dict] = {}

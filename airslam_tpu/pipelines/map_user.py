@@ -113,7 +113,8 @@ class MapUser:
         if not cands:
             return False, np.eye(4)
 
-        scores = {f: self.database.score(self.database.frame_bow[f], vec) for f in cands}
+        cand_ids = list(cands)
+        scores = dict(zip(cand_ids, self.database.batched_scores(vec, cand_ids)))
 
         # grouping (map_user.cc:180-242); group score = top-5 member scores
         groups: Dict[int, dict] = {}

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--max_frames", type=int, default=0)
     ap.add_argument("--pipelined", action="store_true",
                     help="double-buffer device detection with host tracking")
+    ap.add_argument("--jax_pnp", action="store_true",
+                    help="device-resident RANSAC PnP instead of cv2")
     from airslam_tpu.utils import device as device_util
 
     device_util.add_arg(ap)
@@ -61,7 +63,8 @@ def main():
 
     detector = FeatureDetector(cfg.detector, params=det_params)
     matcher = PointMatcher(cfg.matcher, params=mat_params)
-    builder = MapBuilder(camera, detector, matcher, cfg.keyframe, cfg.backend_optimization)
+    builder = MapBuilder(camera, detector, matcher, cfg.keyframe,
+                         cfg.backend_optimization, use_jax_pnp=args.jax_pnp)
 
     dataset = Dataset(args.dataroot, use_imu=camera.use_imu)
     n = len(dataset) if args.max_frames <= 0 else min(len(dataset), args.max_frames)

@@ -111,3 +111,48 @@ def test_database_masked_features(voc):
     vec, wids, wf = db.frame_to_bow(desc, mask)
     assert all(i < 32 for idxs in wf.values() for i in idxs)
     assert (wids[32:] >= 0).sum() == 0 or True  # padded entries excluded from wf
+
+
+def test_database_csr_query_matches_dict_walk_at_scale():
+    """The CSR/native inverted-file query (utils/native.py::invfile_query)
+    returns identical shared-word counts to the reference's dict walk, and a
+    1,000-frame database answers a query within a sane time budget
+    (database.cc:111-123 scale intent)."""
+    import time
+
+    rng = np.random.RandomState(0)
+    desc = rng.randn(60, 256).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    voc = train_vocabulary(desc, k=4, depth=2, seed=0)
+    db = Database(voc)
+    for fid in range(1000):
+        d = rng.randn(40, 256).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        db.add_frame(fid, d)
+
+    q = rng.randn(40, 256).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    vec, _, _ = db.frame_to_bow(q)
+
+    t0 = time.perf_counter()
+    counts = db.query(vec)
+    dt = time.perf_counter() - t0
+
+    # oracle: plain dict walk of the inverted file
+    ref = {}
+    for wid in vec:
+        for fid in db.inverted_file.get(wid, {}):
+            ref[fid] = ref.get(fid, 0) + 1
+    assert counts == ref
+    assert dt < 0.5, f"query took {dt:.3f}s"
+
+    # incremental adds land in the delta and stay correct
+    d = rng.randn(40, 256).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    db.add_frame(5000, d)
+    counts2 = db.query(vec)
+    ref2 = {}
+    for wid in vec:
+        for fid in db.inverted_file.get(wid, {}):
+            ref2[fid] = ref2.get(fid, 0) + 1
+    assert counts2 == ref2
