@@ -38,6 +38,15 @@ def triangulate_point(Rcw, tcw, uv, mask, intr, min_obs: int = 2):
     return x, ok
 
 
+@jax.jit
+def triangulate_points_batch(Rcw, tcw, uv, mask, intr, min_obs: int = 2):
+    """Batched :func:`triangulate_point`: all leading args (B, N, …) — one
+    compiled program per (B, N) bucket instead of a dispatch per landmark."""
+    return jax.vmap(
+        lambda R, t, u, m: triangulate_point(R, t, u, m, intr, min_obs)
+    )(Rcw, tcw, uv, mask)
+
+
 def fit_line_huber(points, mask, rounds: int = 4, inlier_dist: float = 0.1,
                    huber_delta: float = 0.05):
     """Robust line fit: IRLS around (centroid, principal direction) with

@@ -109,5 +109,8 @@ def sample_descriptors(
         + gather(iy_sw, ix_sw) * w_sw[:, None]
         + gather(iy_se, ix_se) * w_se[:, None]
     )
-    norm = jnp.linalg.norm(out, axis=1, keepdims=True)
-    return out / jnp.clip(norm, 1e-12)
+    # eps INSIDE the sqrt: points clamped to the far edge get exactly-zero
+    # bilinear weights, and d‖x‖/dx at x=0 is NaN — which poisons training
+    # gradients (clipping the norm afterwards does not help)
+    norm = jnp.sqrt(jnp.sum(out * out, axis=1, keepdims=True) + 1e-24)
+    return out / jnp.maximum(norm, 1e-12)

@@ -95,16 +95,18 @@ class Frame:
         """Apply the stereo gates and fill u_right/depth
         (frame.cc:139-199). ``stereo_pairs``: (M, 2) left/right keypoint
         index pairs from the matcher. Returns good stereo point count."""
+        pairs = np.asarray(stereo_pairs, np.int64).reshape(-1, 2)
+        if len(pairs) == 0:
+            return 0
         kr = np.asarray(feats_right.keypoints)
-        good = 0
-        for il, ir in stereo_pairs:
-            dx = self.keypoints[il, 0] - kr[ir, 0]
-            dy = abs(self.keypoints[il, 1] - kr[ir, 1])
-            if dx > camera.min_x_diff and dx < camera.max_x_diff and dy <= camera.max_y_diff:
-                self.u_right[il] = kr[ir, 0]
-                self.depth[il] = camera.bf / dx
-                good += 1
-        return good
+        il = pairs[:, 0]
+        ir = pairs[:, 1]
+        dx = self.keypoints[il, 0] - kr[ir, 0]
+        dy = np.abs(self.keypoints[il, 1] - kr[ir, 1])
+        ok = (dx > camera.min_x_diff) & (dx < camera.max_x_diff) & (dy <= camera.max_y_diff)
+        self.u_right[il[ok]] = kr[ir[ok], 0]
+        self.depth[il[ok]] = camera.bf / dx[ok]
+        return int(ok.sum())
 
     def keypoint_position(self, idx: int):
         """(u, v, u_right) with u_right = −1 for mono — the GetKeypointPosition

@@ -63,22 +63,31 @@ class Map:
         Rwc = frame.Twc[:3, :3]
         twc = frame.Twc[:3, 3]
 
-        # points
-        for i in np.nonzero(frame.kp_mask)[0]:
+        # points — back-projections vectorized; multi-view triangulations
+        # collected and solved in ONE batched device call at the end
+        # (map.cc:45-72 does this per point; a per-landmark dispatch costs a
+        # device round trip each on TPU)
+        idxs = np.nonzero(frame.kp_mask & (frame.track_ids >= 0))[0]
+        depths = frame.depth[idxs]
+        xn = (frame.keypoints[idxs, 0] - self.camera.cx) / self.camera.fx
+        yn = (frame.keypoints[idxs, 1] - self.camera.cy) / self.camera.fy
+        pts_c = np.stack([xn, yn, np.ones_like(xn)], axis=-1) * depths[:, None]
+        pts_w = pts_c @ Rwc.T + twc
+        need_triangulation = []
+        for j, i in enumerate(idxs):
             tid = int(frame.track_ids[i])
-            if tid < 0:
-                continue
             mpt = self.mappoints.get(tid)
             if mpt is None:
                 mpt = Mappoint(tid, descriptor=frame.kp_desc[i].copy())
-                pf = frame.back_project(i, self.camera)
-                if pf is not None:
-                    mpt.set_position(Rwc @ pf + twc)
+                if depths[j] > 0:
+                    mpt.set_position(pts_w[j])
                 self.mappoints[tid] = mpt
             frame.mappoint_ids[i] = tid
             mpt.add_observer(fid, int(i))
             if mpt.type == LandmarkType.UNTRIANGULATED and len(mpt.observers) > 2:
-                self.triangulate_mappoint(mpt)
+                need_triangulation.append(mpt)
+        if need_triangulation:
+            self.triangulate_mappoints_batch(need_triangulation)
 
         # lines
         for i in np.nonzero(frame.line_mask)[0]:
@@ -114,26 +123,48 @@ class Map:
     # ------------------------------------------------------------------
 
     def triangulate_mappoint(self, mpt: Mappoint):
-        obs = [(fid, idx) for fid, idx in mpt.observers.items() if fid in self.keyframes]
-        if len(obs) < 2:
-            return False
-        Rcw = np.zeros((len(obs), 3, 3))
-        tcw = np.zeros((len(obs), 3))
-        uv = np.zeros((len(obs), 2))
-        for k, (fid, idx) in enumerate(obs):
-            kf = self.keyframes[fid]
-            Rwc = kf.Twc[:3, :3]
-            Rcw[k] = Rwc.T
-            tcw[k] = -Rwc.T @ kf.Twc[:3, 3]
-            uv[k] = kf.keypoints[idx]
-        x, ok = triangulate.triangulate_point(
+        n = self.triangulate_mappoints_batch([mpt])
+        return n > 0
+
+    def triangulate_mappoints_batch(self, mpts, max_obs: int = 8) -> int:
+        """Triangulate many mappoints in ONE device call: observations padded
+        to (B_bucket, max_obs) grids, vmapped midpoint solve. A per-landmark
+        dispatch (the naive port of Map::TriangulateMappoint) costs a device
+        round trip AND a recompile per observer count — at 400 kpts/frame it
+        dominated keyframe insertion. Returns #successfully triangulated."""
+        cands = []
+        for mpt in mpts:
+            obs = [(f, i) for f, i in mpt.observers.items() if f in self.keyframes]
+            if len(obs) >= 2:
+                cands.append((mpt, obs[:max_obs]))
+        if not cands:
+            return 0
+        B = _bucket(len(cands), 32)
+        Rcw = np.zeros((B, max_obs, 3, 3))
+        Rcw[:] = np.eye(3)
+        tcw = np.zeros((B, max_obs, 3))
+        uv = np.zeros((B, max_obs, 2))
+        mask = np.zeros((B, max_obs), bool)
+        for b, (mpt, obs) in enumerate(cands):
+            for k, (fid, idx) in enumerate(obs):
+                kf = self.keyframes[fid]
+                Rwc = kf.Twc[:3, :3]
+                Rcw[b, k] = Rwc.T
+                tcw[b, k] = -Rwc.T @ kf.Twc[:3, 3]
+                uv[b, k] = kf.keypoints[idx]
+                mask[b, k] = True
+        xs, oks = triangulate.triangulate_points_batch(
             jnp.asarray(Rcw), jnp.asarray(tcw), jnp.asarray(uv),
-            jnp.ones(len(obs), bool), self._intr,
+            jnp.asarray(mask), self._intr,
         )
-        if bool(ok):
-            mpt.set_position(np.asarray(x))
-            return True
-        return False
+        xs = np.asarray(xs)
+        oks = np.asarray(oks)
+        good = 0
+        for b, (mpt, _) in enumerate(cands):
+            if oks[b]:
+                mpt.set_position(xs[b])
+                good += 1
+        return good
 
     def _triangulate_stereo_line(self, frame: Frame, idx: int):
         from airslam_tpu.frontend.lines import triangulate_stereo_lines
