@@ -255,3 +255,98 @@ def render_batch(key, batch: int, size: int = SIZE) -> Scene:
 
 def render_pair_batch(key, batch: int, size: int = SIZE):
     return jax.vmap(lambda k: render_pair(k, size))(jax.random.split(key, batch))
+
+
+# ---------------------------------------------------------------------------
+# 3D synthetic world → camera images (the EuRoC stand-in for end-to-end runs:
+# consistent multi-view geometry, so the real detector+matcher can track)
+# ---------------------------------------------------------------------------
+
+
+class World3D(NamedTuple):
+    segments: jax.Array  # (S, 2, 3) 3D segment endpoints (world)
+    seg_shade: jax.Array  # (S,)
+    blobs: jax.Array  # (B, 3) 3D dot features
+    blob_shade: jax.Array  # (B,)
+
+
+def make_world3d(key, n_seg: int = 48, n_blob: int = 320,
+                 extent=((-4.0, 4.0), (-2.5, 2.5), (2.0, 20.0))) -> World3D:
+    """Random wireframe-and-dots corridor. Segments hug axis-aligned planes so
+    many are (detectably) straight edges; blobs give the point detector
+    texture everywhere."""
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    (x0, x1), (y0, y1), (z0, z1) = extent
+
+    def upts(k, n):
+        u = jax.random.uniform(k, (n, 3))
+        return jnp.stack([
+            x0 + u[:, 0] * (x1 - x0),
+            y0 + u[:, 1] * (y1 - y0),
+            z0 + u[:, 2] * (z1 - z0),
+        ], -1)
+
+    a = upts(k1, n_seg)
+    d = jax.random.normal(k2, (n_seg, 3))
+    # squash one random axis so segments lie roughly in planes
+    axis = jax.random.randint(k3, (n_seg,), 0, 3)
+    d = d * (1.0 - jax.nn.one_hot(axis, 3) * 0.95)
+    d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
+    length = jax.random.uniform(jax.random.fold_in(k2, 1), (n_seg, 1),
+                                minval=0.8, maxval=3.0)
+    b = a + d * length
+    seg_shade = jax.random.uniform(jax.random.fold_in(k2, 2), (n_seg,),
+                                   minval=0.25, maxval=0.55) * jnp.where(
+        jax.random.uniform(jax.random.fold_in(k2, 3), (n_seg,)) > 0.5, 1.0, -1.0)
+    blobs = upts(k4, n_blob)
+    blob_shade = jax.random.uniform(k5, (n_blob,), minval=0.3, maxval=0.6) * jnp.where(
+        jax.random.uniform(jax.random.fold_in(k5, 1), (n_blob,)) > 0.5, 1.0, -1.0)
+    return World3D(jnp.stack([a, b], axis=1), seg_shade, blobs, blob_shade)
+
+
+def render_view3d(world: World3D, Rcw, tcw, fx, fy, cx, cy,
+                  height: int, width: int, key=None):
+    """Rasterize the world into one grayscale view (H, W) in [0, 1].
+
+    Segments are clipped to z>0.2 and drawn as anti-aliased strokes; blobs as
+    small gaussians. Fully jittable — a whole stereo sequence renders as one
+    device program."""
+    px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
+    py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
+
+    def proj(p3):  # (..., 3) world -> (..., 2) pixels + depth
+        pc = p3 @ Rcw.T + tcw
+        z = jnp.maximum(pc[..., 2], 0.2)
+        return jnp.stack([fx * pc[..., 0] / z + cx, fy * pc[..., 1] / z + cy], -1), pc[..., 2]
+
+    img = jnp.full((height, width), 0.55)
+    # static shading texture so views are photometrically consistent
+    u = (px / width * 8).astype(jnp.int32) + (py / height * 6).astype(jnp.int32)
+    img = img + 0.04 * jnp.cos(u.astype(jnp.float32) * 2.1)
+
+    p2a, za = proj(world.segments[:, 0])
+    p2b, zb = proj(world.segments[:, 1])
+    vis = (za > 0.25) & (zb > 0.25)
+    segs2d = jnp.concatenate([p2a, p2b], axis=-1)
+    n = segs2d.shape[0]
+    for i0 in range(0, n, 8):
+        ch = segs2d[i0: i0 + 8]
+        d = jax.vmap(lambda s: _seg_dist(px, py, s))(ch)
+        alpha = jnp.clip(1.8 - d, 0.0, 1.0)
+        w = vis[i0: i0 + 8].astype(jnp.float32) * world.seg_shade[i0: i0 + 8]
+        img = img + jnp.sum(alpha * w[:, None, None], axis=0)
+
+    pb, zbl = proj(world.blobs)
+    bvis = (zbl > 0.25).astype(jnp.float32)
+    m = world.blobs.shape[0]
+    for i0 in range(0, m, 32):
+        dx = px[None] - pb[i0: i0 + 32, 0][:, None, None]
+        dy = py[None] - pb[i0: i0 + 32, 1][:, None, None]
+        g = jnp.exp(-(dx * dx + dy * dy) / 8.0)
+        w = bvis[i0: i0 + 32] * world.blob_shade[i0: i0 + 32]
+        img = img + jnp.sum(g * w[:, None, None], axis=0)
+
+    img = jnp.clip(img, 0.02, 0.98)
+    if key is not None:
+        img = jnp.clip(img + jax.random.normal(key, img.shape) * 0.01, 0.0, 1.0)
+    return img

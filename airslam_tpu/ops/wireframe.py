@@ -56,6 +56,7 @@ def match_proposals(
     line_logit: jax.Array,  # (P,)
     juncs: Junctions,
     match_threshold: float = 5.0,
+    logit_threshold: float = None,
 ):
     """Attach each proposal endpoint to its nearest junction.
 
@@ -63,6 +64,13 @@ def match_proposals(
     ``idx_junc_to_end_min`` / ``idx_junc_to_end_max`` tensors of
     plnet.cpp:453-458, computed as two (P, J) distance argmins (a pair of
     MXU-friendly dense matmuls via the |a-b|² expansion).
+
+    ``logit_threshold``: optional hard confidence gate. The default (None)
+    keeps every junction-matched proposal: proposals reach here already
+    ranked by logit (the top-k prefilter), dedup keeps the
+    highest-ranked unique pairs, and the LOI verification head makes the
+    final call — a hard zero-cut throws away true lines whose calibrated
+    logits sit below 0.
     """
     jxy = jnp.where(juncs.mask[:, None], juncs.xy, jnp.full_like(juncs.xy, 1e6))
 
@@ -78,7 +86,9 @@ def match_proposals(
     j1, d1 = nearest(line_pred[:, 0:2])
     j2, d2 = nearest(line_pred[:, 2:4])
     thr2 = match_threshold * match_threshold
-    keep = (d1 < thr2) & (d2 < thr2) & (j1 != j2) & (line_logit > 0)
+    keep = (d1 < thr2) & (d2 < thr2) & (j1 != j2)
+    if logit_threshold is not None:
+        keep = keep & (line_logit > logit_threshold)
     jmin = jnp.minimum(j1, j2)
     jmax = jnp.maximum(j1, j2)
     return keep, jmin, jmax

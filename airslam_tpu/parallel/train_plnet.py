@@ -126,26 +126,41 @@ def detector_loss(plnet_out, tgt: Targets, key, loi_apply=None, loi_params=None,
         optax.sigmoid_binary_cross_entropy(logit, logit_t) * lw
     )
 
-    # LOI verification head on live feature maps
+    # LOI verification head on live feature maps. Candidates must match the
+    # INFERENCE distribution — arbitrary detected-junction pairs — so decoys
+    # are random GT-corner pairs (corners ≈ what the junction head detects),
+    # and every candidate is labeled geometrically: positive iff its endpoint
+    # pair lies on some GT segment.
     if loi_apply is not None:
         k1, k2, k3 = jax.random.split(key, 3)
         seg4 = scene.segments / 4.0
         s = seg4.shape[0]
-        pos = seg4 + jax.random.uniform(k1, seg4.shape, minval=-0.5, maxval=0.5)
-        # decoys: endpoints from two different segments (plausible junction
-        # pairs that are NOT lines)
-        i = jax.random.randint(k2, (NEG_PAIRS,), 0, s)
-        j = jax.random.randint(k3, (NEG_PAIRS,), 0, s)
-        neg = jnp.concatenate([seg4[i, 0:2], seg4[j, 2:4]], axis=-1)
-        neg_valid = (
-            scene.segment_mask[i] & scene.segment_mask[j] & (i != j)
-            & (jnp.linalg.norm(neg[:, 0:2] - neg[:, 2:4], axis=-1) > 6.0)
+        pos = seg4 + jax.random.uniform(k1, seg4.shape, minval=-0.4, maxval=0.4)
+        c4 = scene.corners / 4.0
+        nc = c4.shape[0]
+        i = jax.random.randint(k2, (2 * NEG_PAIRS,), 0, nc)
+        j = jax.random.randint(k3, (2 * NEG_PAIRS,), 0, nc)
+        rand_pairs = jnp.concatenate([c4[i], c4[j]], axis=-1)
+        rand_valid = (
+            scene.corner_mask[i] & scene.corner_mask[j] & (i != j)
+            & (jnp.linalg.norm(c4[i] - c4[j], axis=-1) > 4.0)
         )
-        cands = jnp.concatenate([pos, neg], axis=0)
-        labels = jnp.concatenate(
-            [scene.segment_mask.astype(jnp.float32), jnp.zeros((NEG_PAIRS,))]
-        )
-        valid = jnp.concatenate([scene.segment_mask, neg_valid])
+        cands = jnp.concatenate([pos, rand_pairs], axis=0)
+        valid = jnp.concatenate([scene.segment_mask, rand_valid])
+
+        # geometric label: min over GT segments of symmetric endpoint dist
+        def pair_dist(c, g):  # (4,), (4,) -> scalar
+            fwd = jnp.linalg.norm(c[0:2] - g[0:2]) + jnp.linalg.norm(c[2:4] - g[2:4])
+            rev = jnp.linalg.norm(c[0:2] - g[2:4]) + jnp.linalg.norm(c[2:4] - g[0:2])
+            return jnp.minimum(fwd, rev) * 0.5
+
+        dmat = jax.vmap(lambda c: jax.vmap(lambda g: pair_dist(c, g))(seg4))(cands)
+        dmat = jnp.where(scene.segment_mask[None, :], dmat, 1e9)
+        dmin = jnp.min(dmat, axis=1)
+        labels = (dmin < 1.0).astype(jnp.float32)
+        # ambiguous band: neither clearly on a segment nor clearly off
+        valid = valid & ((dmin < 1.0) | (dmin > 2.5))
+
         score, _ = loi_apply(
             loi_params, cands, cands,
             plnet_out["loi"], plnet_out["loi_thin"], plnet_out["loi_aux"],

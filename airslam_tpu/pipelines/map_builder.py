@@ -103,15 +103,30 @@ class MapBuilder:
 
     def add_input(self, timestamp: float, image_left, image_right, imu_batch=None):
         """One stereo frame (+ IMU rows since the previous frame).
-        Images: (H, W) grayscale in [0, 1]. Returns the tracked Frame."""
-        left, right = self.rectify(image_left, image_right)
-        feats = self.detector.detect(np.stack([left, right]))
-        import jax.tree_util as jtu
+        Images: (H, W) grayscale in [0, 1]. Returns the tracked Frame.
 
-        f0 = jtu.tree_map(lambda t: np.asarray(t[0]), feats)
-        f1 = jtu.tree_map(lambda t: np.asarray(t[1]), feats)
-        pairs, _ = self.matcher.matching_points(f0, f1, threshold=self.match_threshold)
-        return self.track_features(timestamp, f0, f1, pairs, imu_batch)
+        Set ``self.stage_timer`` (utils.timing.Timer) for a per-stage
+        breakdown (detect / stereo_match / track) — the per-frame timing the
+        reference prints in demo/visual_odometry.cpp:49-58."""
+        import contextlib
+
+        timer = getattr(self, "stage_timer", None)
+
+        def sect(name):
+            return timer.section(name) if timer is not None else contextlib.nullcontext()
+
+        with sect("rectify"):
+            left, right = self.rectify(image_left, image_right)
+        with sect("detect"):
+            feats = self.detector.detect(np.stack([left, right]))
+            import jax.tree_util as jtu
+
+            f0 = jtu.tree_map(lambda t: np.asarray(t[0]), feats)
+            f1 = jtu.tree_map(lambda t: np.asarray(t[1]), feats)
+        with sect("stereo_match"):
+            pairs, _ = self.matcher.matching_points(f0, f1, threshold=self.match_threshold)
+        with sect("track"):
+            return self.track_features(timestamp, f0, f1, pairs, imu_batch)
 
     # ------------------------------------------------------------------
 

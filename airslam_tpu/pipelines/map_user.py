@@ -188,31 +188,39 @@ class MapUser:
         inv = self.junction_database.inverted_file
         kf_conns = self._kf_junc_conns.get(kf_id, [])
         nq = len(jwids)
-        match_junctions: List[List[int]] = [[] for _ in range(nq)]
-        match_matrix = {}
+        nk = len(kf_conns)
+
+        # M[i, j] = query junction i and keyframe junction j share a word;
+        # Cq/Ck = junction connectivity (joined by a detected line). The
+        # reference's quadruple loop (map_user.cc:285-349) counts, per match
+        # (i, j), line-preserving partner matches (a, b) with a~i, b~j and
+        # M[a, b] — exactly Σ M ⊙ (Cq · M · Ckᵀ) as dense boolean matmuls.
+        M = np.zeros((nq, max(nk, 1)), bool)
         for i, wid in enumerate(jwids):
             if wid < 0:
                 continue
-            entry = inv.get(int(wid), {}).get(kf_id)
-            if not entry:
-                continue
-            match_junctions[i] = entry
-            for j in entry:
-                match_matrix[(i, j)] = True
+            for j in inv.get(int(wid), {}).get(kf_id, ()):
+                if j < nk:
+                    M[i, j] = True
+        if not M.any():
+            return jscore
 
-        match_num = 0
-        line_match_num = 0
-        for i in range(nq):
-            if not match_junctions[i] or not q_conns[i]:
-                continue
-            match_num += len(match_junctions[i])
-            for j in match_junctions[i]:
-                if j >= len(kf_conns) or not kf_conns[j]:
-                    continue
-                for a in q_conns[i]:
-                    for b in kf_conns[j]:
-                        if match_matrix.get((a, b)):
-                            line_match_num += 1
+        Cq = np.zeros((nq, nq), bool)
+        for i, conns in enumerate(q_conns):
+            for a in conns:
+                if a < nq:
+                    Cq[i, a] = True
+        Ck = np.zeros((max(nk, 1), max(nk, 1)), bool)
+        for j, conns in enumerate(kf_conns):
+            for b in conns:
+                if b < nk:
+                    Ck[j, b] = True
+
+        has_q = np.asarray([bool(c) for c in q_conns] + [False] * (nq - len(q_conns)))
+        match_num = int(M[has_q[:nq]].sum())
+        Mi = M.astype(np.int32)
+        pair_counts = (Cq.astype(np.int32) @ Mi @ Ck.T.astype(np.int32))
+        line_match_num = int((pair_counts * Mi).sum())
         rate = line_match_num / match_num if match_num > 0 else 0.0
         return jscore * (1.0 + rate)
 

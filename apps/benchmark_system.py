@@ -1,0 +1,200 @@
+"""FULL-SYSTEM throughput + accuracy benchmark on a synthetic 3D sequence
+with the real CNN pipeline (detector + matcher + tracking + BA + map
+bookkeeping) — the apples-to-apples number against the reference's 73 Hz
+full-system claim (/root/reference/README.md:33; FPS print
+demo/visual_odometry.cpp:49-58).
+
+A consistent 3D wireframe-and-dots world is rasterized into a stereo ASL-like
+sequence on device (airslam_tpu.frontend.synthgen.render_view3d), then
+MapBuilder runs exactly as in apps/visual_odometry.py. Reports frames/s,
+per-stage breakdown, and ATE RMSE against the ground-truth trajectory.
+
+--profile writes a jax.profiler trace (SURVEY §5 tracing gap).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_sequence(n_frames: int, height: int, width: int, seed: int = 0,
+                  baseline: float = 0.11):
+    """Render a stereo sequence along a smooth forward + weave trajectory.
+    Returns (timestamps, lefts (T,H,W), rights, gt_Twc list)."""
+    import jax
+    import jax.numpy as jnp
+
+    from airslam_tpu.frontend import synthgen
+    from tests.synthetic import default_intrinsics
+
+    intr = default_intrinsics(jnp.float32)
+    fx, fy, cx, cy = (float(intr.fx), float(intr.fy), float(intr.cx), float(intr.cy))
+
+    world = synthgen.make_world3d(jax.random.PRNGKey(seed))
+    ts = np.arange(n_frames) * 0.05
+    gt = []
+    for i in range(n_frames):
+        T = np.eye(4)
+        T[:3, 3] = [0.3 * np.sin(i * 0.08), 0.08 * np.sin(i * 0.13), 0.12 * i]
+        gt.append(T)
+
+    @jax.jit
+    def render_seq(Rcw_all, tcw_all, tcw_all_r, keys):
+        def one(Rcw, tcw, tcw_r, k):
+            k1, k2 = jax.random.split(k)
+            L = synthgen.render_view3d(world, Rcw, tcw, fx, fy, cx, cy,
+                                       height, width, k1)
+            R = synthgen.render_view3d(world, Rcw, tcw_r, fx, fy, cx, cy,
+                                       height, width, k2)
+            return L, R
+
+        return jax.lax.map(lambda args: one(*args), (Rcw_all, tcw_all, tcw_all_r, keys))
+
+    Rcw = np.stack([T[:3, :3].T for T in gt])
+    tcw = np.stack([-T[:3, :3].T @ T[:3, 3] for T in gt])
+    # right camera center = left + baseline along camera +x ⇒ tcw' = tcw − b·ex
+    tcw_r = tcw.copy()
+    tcw_r[:, 0] -= baseline
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(jax.random.PRNGKey(seed + 1),
+                                                   jnp.arange(n_frames))
+    L, R = render_seq(jnp.asarray(Rcw, jnp.float32), jnp.asarray(tcw, jnp.float32),
+                      jnp.asarray(tcw_r, jnp.float32), keys)
+    return ts, np.asarray(L), np.asarray(R), gt
+
+
+class SynthCamera:
+    """Camera facade with the synthetic intrinsics (no distortion)."""
+
+    def __init__(self, height, width, baseline=0.11):
+        import jax.numpy as jnp
+
+        from tests.synthetic import default_intrinsics
+
+        intr = default_intrinsics(jnp.float64)
+        self.fx, self.fy = float(intr.fx), float(intr.fy)
+        self.cx, self.cy = float(intr.cx), float(intr.cy)
+        self.bf = self.fx * baseline
+        self.image_width, self.image_height = width, height
+        self.depth_lower_thr, self.depth_upper_thr = 0.5, 25.0
+        self.max_x_diff = self.bf / self.depth_lower_thr
+        self.min_x_diff = self.bf / self.depth_upper_thr
+        self.max_y_diff = 2.0
+        self.Tbc = np.eye(4)
+        self.Tcb = np.eye(4)
+        self.use_imu = False
+        self.g_value = 9.81
+
+    def intrinsics(self, dtype=None):
+        import jax.numpy as jnp
+
+        from airslam_tpu.core.camera import Intrinsics
+
+        dtype = dtype or jnp.float64
+        return Intrinsics(
+            fx=jnp.asarray(self.fx, dtype), fy=jnp.asarray(self.fy, dtype),
+            cx=jnp.asarray(self.cx, dtype), cy=jnp.asarray(self.cy, dtype),
+            bf=jnp.asarray(self.bf, dtype),
+        )
+
+    def rectify_maps(self):
+        return None, None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=200)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=752)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--profile", default=None,
+                    help="directory for a jax.profiler trace of the run")
+    ap.add_argument("--model_dir", default=None)
+    ap.add_argument("--pipelined", action="store_true")
+    ap.add_argument("--json", action="store_true", help="print one JSON line")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from airslam_tpu.utils import jaxcache
+
+    jaxcache.enable()
+
+    import jax.numpy as jnp
+
+    from airslam_tpu.frontend.detector import DetectorConfig, FeatureDetector
+    from airslam_tpu.frontend.matcher import MatcherConfig, PointMatcher
+    from airslam_tpu.io.trajectory import ate_rmse
+    from airslam_tpu.models import weights as wio
+    from airslam_tpu.pipelines.map_builder import MapBuilder
+    from airslam_tpu.utils.timing import Timer
+
+    print(f"rendering {args.frames}-frame synthetic stereo sequence...", flush=True)
+    ts, lefts, rights, gt = make_sequence(args.frames, args.height, args.width)
+
+    det_cfg = DetectorConfig(max_keypoints=400, use_superpoint=False,
+                             dtype=jnp.bfloat16)
+    det_params = None
+    ckpt = (os.path.join(args.model_dir, "plnet_s0.npz") if args.model_dir
+            else wio.checkpoint_path("plnet_s0.npz"))
+    if os.path.exists(ckpt):
+        det_params = wio.load_params(ckpt)
+        det_params = {"plnet": det_params["plnet"], "loi": det_params["loi"]}
+        print(f"loaded trained detector weights: {ckpt}")
+    detector = FeatureDetector(det_cfg, params=det_params)
+    matcher = PointMatcher(MatcherConfig(matcher=0, max_keypoints=400,
+                                         dtype=jnp.bfloat16))
+    cam = SynthCamera(args.height, args.width)
+    builder = MapBuilder(cam, detector, matcher)
+    timer = Timer()
+    builder.stage_timer = timer
+
+    # warm up compiles outside the timed loop
+    builder.add_input(ts[0], lefts[0], rights[0], None)
+
+    if args.profile:
+        os.makedirs(args.profile, exist_ok=True)
+        jax.profiler.start_trace(args.profile)
+    t0 = time.perf_counter()
+    for i in range(1, args.frames):
+        builder.add_input(ts[i], lefts[i], rights[i], None)
+    elapsed = time.perf_counter() - t0
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}")
+
+    n = args.frames - 1
+    hz = n / elapsed
+    est = builder.trajectory
+    gt_traj = [(ts[i], gt[i]) for i in range(args.frames)]
+    try:
+        ate = ate_rmse(est, gt_traj, align=True)
+    except Exception as e:  # degenerate tracking
+        ate = float("nan")
+        print(f"ATE failed: {e}")
+
+    print(f"\nfull-system: {hz:.2f} Hz ({1e3 / hz:.1f} ms/frame) over {n} frames")
+    print(f"keyframes: {len(builder.map.keyframes)}  mappoints: {len(builder.map.mappoints)}")
+    print(f"ATE RMSE (aligned): {ate * 100:.2f} cm over {0.12 * args.frames:.1f} m")
+    print("\nper-stage breakdown:")
+    print(timer.summary())
+    if args.json:
+        print(json.dumps({
+            "metric": "full_system_hz", "value": round(hz, 2),
+            "unit": "Hz full VO system @752x480 synthetic",
+            "vs_baseline": round(hz / 73.0, 3), "ate_cm": round(ate * 100, 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()
