@@ -79,22 +79,44 @@ class PLNetBackbone(nn.Module):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))  # /8
         x = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="conv3a")(x))
         x = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="conv3b")(x))
-        return x, {"c3": c3}
+        feat = x  # stride 8
+        # deep levels for the line heads: endpoints of a 512-px segment sit
+        # ±250 px from its center cell — far beyond the /8 receptive field;
+        # two extra octaves at /16 and /32 are ~0.2 GFLOP/view and give the
+        # proposal head the global context it needs
+        y = nn.max_pool(feat, (2, 2), strides=(2, 2))  # /16
+        y = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="conv4a")(y))
+        y = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="conv4b")(y))
+        c5 = y
+        z = nn.max_pool(y, (2, 2), strides=(2, 2))  # /32
+        z = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="conv5a")(z))
+        z = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="conv5b")(z))
+        return feat, {"c3": c3, "c5": c5, "c6": z}
 
 
 class LineHeadTrunk(nn.Module):
-    """Shared stride-4 line feature trunk: fuse c3 (/4) with upsampled c4 (/8)."""
+    """Shared stride-4 line feature trunk: fuse c3 (/4) with the upsampled
+    deeper pyramid levels (/8, /16, /32) so proposal regression sees whole
+    segments, not just their center neighborhoods."""
 
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, c3, c4):
-        b, h8, w8, _ = c4.shape
-        up = jax.image.resize(c4, (b, h8 * 2, w8 * 2, c4.shape[-1]), "bilinear")
-        x = jnp.concatenate([c3, up], axis=-1)
-        # 1×1 reduce before the 3×3: a 3×3 conv straight off the 256-ch
-        # concat costs 9.7 GFLOP/view at 128²; reduce (1.2) + 3×3 on 128
-        # (4.8) keeps the trunk 128-wide at ~60% of the FLOPs
+    def __call__(self, c3, c4, c5=None, c6=None):
+        b, h4, w4, _ = c3.shape
+
+        def up(t):
+            return jax.image.resize(t, (b, h4, w4, t.shape[-1]), "bilinear")
+
+        parts = [c3, up(c4)]
+        if c5 is not None:
+            parts.append(up(c5))
+        if c6 is not None:
+            parts.append(up(c6))
+        x = jnp.concatenate(parts, axis=-1)
+        # 1×1 reduce before the 3×3: a 3×3 conv straight off the wide concat
+        # would cost 4× more; reduce (1.2 GF) + 3×3 on 128 (4.8 GF) keeps the
+        # trunk 128-wide
         x = nn.relu(nn.Conv(128, (1, 1), dtype=self.dtype, name="fuse0")(x))
         x = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="fuse2")(x))
         return x
@@ -104,7 +126,10 @@ class PLNet(nn.Module):
     """Stage-0: shared backbone + keypoint heads + line heads."""
 
     dtype: Any = jnp.float32
-    max_offset_cells: float = 64.0  # max endpoint displacement from cell center
+    # endpoint offset scale from the (center) cell: LINEAR, not tanh-bounded —
+    # segments can span ±125 cells of their center at 512², and a tanh cap
+    # saturates gradients exactly on the long lines that need them
+    offset_scale: float = 8.0
 
     @nn.compact
     def __call__(self, image):
@@ -122,7 +147,9 @@ class PLNet(nn.Module):
         desc = desc / jnp.clip(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
 
         # -- line trunk at stride 4 --------------------------------------
-        trunk = LineHeadTrunk(dtype=self.dtype, name="line_trunk")(skips["c3"], feat)
+        trunk = LineHeadTrunk(dtype=self.dtype, name="line_trunk")(
+            skips["c3"], feat, skips.get("c5"), skips.get("c6")
+        )
         bt, h4, w4, _ = trunk.shape
 
         junc_heat = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="junc_heat")(trunk)
@@ -132,7 +159,7 @@ class PLNet(nn.Module):
 
         p = NUM_PROPOSALS_PER_CELL
         line_raw = nn.Conv(p * 4, (3, 3), padding="SAME", dtype=self.dtype, name="line_pred")(trunk)
-        line_raw = jnp.tanh(line_raw.astype(jnp.float32)) * self.max_offset_cells
+        line_raw = line_raw.astype(jnp.float32) * self.offset_scale
         cy = jax.lax.broadcasted_iota(jnp.float32, (h4, w4), 0) + 0.5
         cx = jax.lax.broadcasted_iota(jnp.float32, (h4, w4), 1) + 0.5
         center = jnp.stack([cx, cy, cx, cy], axis=-1)  # (h4, w4, 4)

@@ -68,3 +68,51 @@ def sharded_global_ba(problem: gn.BAProblem, intr, cfg: gn.BAConfig, mesh: Mesh,
     problem = shard_problem(problem, mesh)
     with mesh:
         return windows.local_ba(problem, intr, cfg, iters1=iters1, iters2=iters2)
+
+
+# ---------------------------------------------------------------------------
+# Map-scale sparse GlobalBA over the mesh: observations AND landmarks shard
+# over 'dp'; per-frame blocks, the reduced camera matrix and its solve stay
+# replicated (XLA turns every scatter-add/einsum over sharded operands into
+# local partials + psum over ICI).
+# ---------------------------------------------------------------------------
+
+
+def shard_sparse_problem(prob, mesh: Mesh):
+    from airslam_tpu.backend import global_ba as gba
+
+    dp = mesh.shape["dp"]
+    sh = NamedSharding(mesh, P("dp"))
+    repl = NamedSharding(mesh, P())
+
+    def put(x, s):
+        return jax.device_put(x, s)
+
+    def maybe(x):
+        return put(x, sh if x.shape[0] % dp == 0 else repl)
+
+    return prob._replace(
+        Rwb=put(prob.Rwb, repl), twb=put(prob.twb, repl),
+        pose_fixed=put(prob.pose_fixed, repl),
+        points=maybe(prob.points),
+        pobs_pidx=maybe(prob.pobs_pidx), pobs_fidx=maybe(prob.pobs_fidx),
+        pobs=maybe(prob.pobs), pobs_mask=maybe(prob.pobs_mask),
+        point_obs_table=maybe(prob.point_obs_table),
+        lines=maybe(prob.lines),
+        lobs_lidx=maybe(prob.lobs_lidx), lobs_fidx=maybe(prob.lobs_fidx),
+        lobs=maybe(prob.lobs), lobs_stereo=maybe(prob.lobs_stereo),
+        lobs_mask=maybe(prob.lobs_mask), lobs_sigma=maybe(prob.lobs_sigma),
+        line_obs_table=maybe(prob.line_obs_table),
+        Rcb=put(prob.Rcb, repl), tcb=put(prob.tcb, repl),
+    )
+
+
+def sharded_sparse_global_ba(prob, intr, cfg: gn.BAConfig, mesh: Mesh,
+                             iters1: int = 50, iters2: int = 40,
+                             chunk: int = 2048):
+    from airslam_tpu.backend import global_ba as gba
+
+    prob = shard_sparse_problem(prob, mesh)
+    with mesh:
+        return gba.global_ba(prob, intr, cfg, iters1=iters1, iters2=iters2,
+                             chunk=chunk)

@@ -190,7 +190,7 @@ def descriptor_loss(desc0, desc1, s0: synthgen.Scene, s1: synthgen.Scene,
 
 
 WEIGHTS = {
-    "kp": 1.0, "junc": 1.0, "junc_off": 0.25, "line_reg": 0.05,
+    "kp": 1.0, "junc": 1.0, "junc_off": 0.25, "line_reg": 0.1,
     "line_logit": 1.0, "loi": 0.5, "desc": 1.0,
 }
 

@@ -198,6 +198,29 @@ def main():
         out = jax.image.resize(x, (2, DETECT_SIZE, DETECT_SIZE, 1), "bilinear")
         return consume(out) * 1e-9 + c
 
+    # whole-entry ablations: the fused program end-to-end, and detect-only
+    from __graft_entry__ import entry
+
+    entry_fn, entry_args = entry()
+    eplp, eloip, elgp, _pair = entry_args
+    pair_example = jnp.asarray(rng.rand(2, 480, 752), jnp.float32)
+
+    @stage("entry_full")
+    def _(c, _x):
+        out = entry_fn(eplp, eloip, elgp, pair_example + (c * 1e-6).astype(jnp.float32))
+        return consume(out) * 1e-9 + c
+
+    from airslam_tpu.frontend.detector import detect_batch
+
+    @stage("detect_batch_only")
+    def _(c, _x):
+        x = pair_example[..., None] + (c * 1e-6).astype(jnp.float32)
+        x = jax.image.resize(x, (2, DETECT_SIZE, DETECT_SIZE, 1), "bilinear")
+        pl_out = det.plnet.apply(plp, x)
+        feats = detect_batch(pl_out, None, cfg, 752 / DETECT_SIZE, 480 / DETECT_SIZE,
+                             False, det.loi.apply, loip)
+        return consume(feats) * 1e-9 + c
+
     names = args.stage or list(stages)
     print(f"{'stage':22s} {'ms/frame':>10s}")
     total = 0.0

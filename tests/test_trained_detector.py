@@ -1,0 +1,126 @@
+"""Trained-weights detector quality (VERDICT r1 #3 'make the detector see').
+
+Runs only when the synthetic-shapes-trained checkpoint
+(airslam_tpu/checkpoints/plnet_s0.npz, produced by apps/train_plnet.py) is
+present. The stage-1 LOI head weights are the reference's shipped checkpoint
+import (always present in-repo)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from airslam_tpu.models import weights as wio
+
+CKPT = wio.checkpoint_path("plnet_s0.npz")
+pytestmark = pytest.mark.skipif(not os.path.exists(CKPT),
+                                reason="trained plnet_s0 checkpoint absent")
+
+
+@pytest.fixture(scope="module")
+def detector():
+    from airslam_tpu.frontend.detector import DetectorConfig, FeatureDetector
+
+    p = wio.load_params(CKPT)
+    return FeatureDetector(
+        DetectorConfig(use_superpoint=False),
+        params={"plnet": p["plnet"], "loi": p["loi"]},
+    )
+
+
+def _single(feats):
+    import jax.tree_util as jtu
+
+    return jtu.tree_map(lambda t: np.asarray(t[0]), feats)
+
+
+def test_checkerboard_corners(detector):
+    """≥100 repeatable corners on a rendered checkerboard, localized within
+    3 px of the true crossings (the de-facto test_feature harness,
+    demo/test_feature.cpp:16)."""
+    H, W, sq = 480, 752, 48
+    img = np.zeros((H, W), np.float32)
+    for r in range(0, H, sq):
+        for c in range(0, W, sq):
+            img[r:r + sq, c:c + sq] = 0.85 if ((r // sq) + (c // sq)) % 2 == 0 else 0.25
+    f = _single(detector.detect(img[None], detect_junctions=True))
+    kp = f.keypoints[f.kp_mask]
+    assert len(kp) >= 100
+    gx = np.arange(sq, W - 1, sq)
+    gy = np.arange(sq, H - 1, sq)
+    crossings = np.asarray([(x, y) for x in gx for y in gy], float)
+    d = np.linalg.norm(kp[:, None] - crossings[None], axis=-1).min(axis=1)
+    assert (d < 3.0).sum() >= 100
+    # a sizable share of interior crossings found (checkerboards are out of
+    # the synthetic-shapes training distribution; 400-kpt budget for 135
+    # crossings plus their duplicates)
+    dc = np.linalg.norm(crossings[:, None] - kp[None], axis=-1).min(axis=1)
+    assert (dc < 3.0).mean() > 0.4
+
+
+def test_synthetic_scene_corners_and_lines(detector):
+    """On the training distribution (held-out seed): corners recall >70%
+    within 3 px; detected line segments recover a usable share of the GT
+    wireframe."""
+    import jax
+
+    from airslam_tpu.frontend import synthgen
+
+    recs, precs = [], []
+    for seed in (123, 7, 99):
+        s = jax.jit(synthgen.render_scene)(jax.random.PRNGKey(seed))
+        img = np.asarray(s.image)
+        f = _single(detector.detect(img[None], detect_junctions=True))
+        gt_c = np.asarray(s.corners)[np.asarray(s.corner_mask)]
+        kp = f.keypoints[f.kp_mask]
+        dc = np.linalg.norm(gt_c[:, None] - kp[None], axis=-1).min(axis=1)
+        assert (dc < 3.0).mean() > 0.7, f"seed {seed} corner recall"
+
+        gt_seg = np.asarray(s.segments)[np.asarray(s.segment_mask)]
+        lines = f.lines[f.line_mask]
+
+        def seg_d(a, b):
+            d1 = np.linalg.norm(a[:2] - b[:2]) + np.linalg.norm(a[2:] - b[2:])
+            d2 = np.linalg.norm(a[:2] - b[2:]) + np.linalg.norm(a[2:] - b[:2])
+            return min(d1, d2) / 2
+
+        rec = sum(min((seg_d(g, l) for l in lines), default=1e9) < 10 for g in gt_seg)
+        recs.append(rec / max(len(gt_seg), 1))
+        if len(lines):
+            prec = sum(min(seg_d(g, l) for g in gt_seg) < 10 for l in lines)
+            precs.append(prec / len(lines))
+    assert np.mean(recs) > 0.3, f"line recall {recs}"
+    assert np.mean(precs) > 0.3, f"line precision {precs}"
+
+
+def test_descriptors_match_across_views(detector):
+    """Descriptors of the same 3D corners match across an affine view change
+    (mutual nearest neighbors mostly correct)."""
+    import jax
+
+    from airslam_tpu.frontend import synthgen
+    from airslam_tpu.ops.gridsample import sample_descriptors
+
+    s0, s1 = synthgen.render_pair(jax.random.PRNGKey(5))
+    f0 = _single(detector.detect(np.asarray(s0.image)[None]))
+    f1 = _single(detector.detect(np.asarray(s1.image)[None]))
+    import jax.numpy as jnp
+
+    m = np.asarray(s0.corner_mask) & np.asarray(s1.corner_mask)
+    c0 = np.asarray(s0.corners)[m]
+    c1 = np.asarray(s1.corners)[m]
+    # sample the detector's descriptor maps at the GT corner tracks
+    out0 = detector.plnet.apply(detector.params["plnet"],
+                                jnp.asarray(s0.image)[None, ..., None])
+    out1 = detector.plnet.apply(detector.params["plnet"],
+                                jnp.asarray(s1.image)[None, ..., None])
+    d0 = np.asarray(sample_descriptors(
+        jnp.asarray(out0["descriptors"][0]).transpose(2, 0, 1), jnp.asarray(c0), 8))
+    d1 = np.asarray(sample_descriptors(
+        jnp.asarray(out1["descriptors"][0]).transpose(2, 0, 1), jnp.asarray(c1), 8))
+    sim = d0 @ d1.T
+    fwd = sim.argmax(1)
+    bwd = sim.argmax(0)
+    n = len(c0)
+    mutual_correct = sum(1 for i in range(n) if fwd[i] == i and bwd[i] == i)
+    assert mutual_correct / n > 0.6, f"{mutual_correct}/{n}"
