@@ -15,6 +15,7 @@ per-invocation dispatch/fetch overhead of this container's remote-TPU tunnel
 this tunnel reports fantasy numbers in both directions).
 """
 
+import argparse
 import json
 import time
 
@@ -26,6 +27,11 @@ REFERENCE_HZ = 73.0  # /root/reference/README.md:33
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace of the timed scans here")
+    args, _ = ap.parse_known_args()
+
     from airslam_tpu.utils import jaxcache
 
     jaxcache.enable()
@@ -50,6 +56,11 @@ def main():
         return c
 
     rng = np.random.RandomState(0)
+    if args.profile:
+        import os
+
+        os.makedirs(args.profile, exist_ok=True)
+        jax.profiler.start_trace(args.profile)
     best = {}
     for T in (4, 64):
         frames = jnp.asarray(rng.rand(T, 2, 480, 752).astype(np.float32))
@@ -64,6 +75,8 @@ def main():
             times.append(time.perf_counter() - t0)
         best[T] = min(times)
 
+    if args.profile:
+        jax.profiler.stop_trace()
     dt = (best[64] - best[4]) / 60.0
     hz = 1.0 / dt
     print(
