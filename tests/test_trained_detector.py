@@ -167,3 +167,27 @@ def test_descriptors_match_across_views(detector):
     n = len(c0)
     mutual_correct = sum(1 for i in range(n) if fwd[i] == i and bwd[i] == i)
     assert mutual_correct / n > 0.6, f"{mutual_correct}/{n}"
+
+
+def test_trained_superpoint_corners():
+    """The standalone SuperPoint checkpoint (use_superpoint: 1 path) recalls
+    synthetic-scene corners."""
+    import jax
+    import jax.numpy as jnp
+
+    ckpt = wio.checkpoint_path("superpoint.npz")
+    if not os.path.exists(ckpt):
+        pytest.skip("trained superpoint checkpoint absent")
+    from airslam_tpu.frontend import synthgen
+    from airslam_tpu.models.superpoint import SuperPoint
+    from airslam_tpu.ops.detect import topk_keypoints
+
+    sp = SuperPoint()
+    p = wio.load_params(ckpt)
+    s = jax.jit(synthgen.render_scene)(jax.random.PRNGKey(55))
+    out = sp.apply(p, np.asarray(s.image)[None, ..., None])
+    kps = topk_keypoints(jnp.asarray(out["scores"][0]), 0.004, 4, 400)
+    kp = np.asarray(kps.xy)[np.asarray(kps.mask)]
+    gt = np.asarray(s.corners)[np.asarray(s.corner_mask)]
+    d = np.linalg.norm(gt[:, None] - kp[None], axis=-1).min(axis=1)
+    assert (d < 3.0).mean() > 0.7
