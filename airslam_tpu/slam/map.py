@@ -319,40 +319,52 @@ class Map:
         if f > f_real:
             pose_fixed = np.concatenate([pose_fixed, np.ones(f - f_real, bool)])
 
+        # observation grids filled per FRAME with vectorized gathers (the
+        # per-landmark observer walk allocated a numpy array per observation
+        # and capped the host side of keyframe insertion)
         point_obs = np.zeros((P, f, 3))
         point_obs[..., 2] = -1.0
         point_mask = np.zeros((P, f), bool)
         points = np.zeros((P, 3))
+        row_of_tid = {mpt.id: j for j, mpt in enumerate(mpts)}
         for j, mpt in enumerate(mpts):
             points[j] = mpt.position
-            for fid, idx in mpt.observers.items():
-                k = frame_index.get(fid)
-                if k is None:
-                    continue
-                kf = self.keyframes.get(fid) or frames[k]
-                point_obs[j, k] = kf.keypoint_position(idx)
-                point_mask[j, k] = True
+        for k, fr in enumerate(frames):
+            ids = fr.mappoint_ids
+            sel = np.nonzero(ids >= 0)[0]
+            if len(sel) == 0:
+                continue
+            rows = np.asarray([row_of_tid.get(int(t), -1) for t in ids[sel]])
+            ok = rows >= 0
+            sel, rows = sel[ok], rows[ok]
+            point_obs[rows, k, 0:2] = fr.keypoints[sel]
+            point_obs[rows, k, 2] = fr.u_right[sel]
+            point_mask[rows, k] = True
 
         line_obs = np.zeros((L, f, 8))
         line_mask = np.zeros((L, f), bool)
         line_stereo = np.zeros((L, f), bool)
         line_sigma = np.full((L, f), 0.001)
         lines = np.tile(np.array([1.0, 0, 0, 0, 1.0, 0]), (L, 1))
+        lrow_of_tid = {mpl.id: j for j, mpl in enumerate(mpls)}
         for j, mpl in enumerate(mpls):
             lines[j] = mpl.line3d
             # pixel_sigma = 0.1 for well-observed lines, 0.001 otherwise
             # (map.cc:724)
             line_sigma[j] = 0.1 if len(mpl.observers) > 3 else 0.001
-            for fid, idx in mpl.observers.items():
-                k = frame_index.get(fid)
-                if k is None:
-                    continue
-                kf = self.keyframes.get(fid) or frames[k]
-                line_obs[j, k, 0:4] = kf.lines[idx]
-                if kf.lines_right_valid[idx]:
-                    line_obs[j, k, 4:8] = kf.lines_right[idx]
-                    line_stereo[j, k] = True
-                line_mask[j, k] = True
+        for k, fr in enumerate(frames):
+            ids = fr.mapline_ids
+            sel = np.nonzero(ids >= 0)[0]
+            if len(sel) == 0:
+                continue
+            rows = np.asarray([lrow_of_tid.get(int(t), -1) for t in ids[sel]])
+            ok = rows >= 0
+            sel, rows = sel[ok], rows[ok]
+            line_obs[rows, k, 0:4] = fr.lines[sel]
+            stereo = fr.lines_right_valid[sel]
+            line_obs[rows[stereo], k, 4:8] = fr.lines_right[sel[stereo]]
+            line_stereo[rows[stereo], k] = True
+            line_mask[rows, k] = True
 
         Tcb = self.camera.Tcb if hasattr(self.camera, "Tcb") else np.eye(4)
         Rwb = np.tile(np.eye(3), (f, 1, 1))  # identity for padded frames
