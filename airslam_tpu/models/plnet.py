@@ -180,9 +180,11 @@ class PLNet(nn.Module):
             "junc_offset": junc_offset,
             "line_pred": line_pred,
             "line_logit": line_logit,
-            "loi": loi.astype(jnp.float32),
-            "loi_thin": loi_thin.astype(jnp.float32),
-            "loi_aux": loi_aux.astype(jnp.float32),
+            # kept in the compute dtype: the stage-1 head samples these with
+            # MXU einsums — bf16 maps halve the HBM traffic on TPU
+            "loi": loi,
+            "loi_thin": loi_thin,
+            "loi_aux": loi_aux,
         }
 
 
@@ -335,18 +337,24 @@ def _onnx_bilerp(fmap: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     y0 = y0f.astype(jnp.int32)
     y1 = y1f.astype(jnp.int32)
     n = x.shape[0]
-    # (N, W) / (N, H) one-hot weight rows; when x0 == x1 (border clamp) the
-    # two scatters ADD into the same slot: (x1−x) + (x−x0) — matching the
+    # (N, W) / (N, H) one-hot weight rows built by iota comparison (pure VPU
+    # elementwise — scatter construction measured 5× slower); when x0 == x1
+    # (border clamp) the two terms ADD into the same slot, matching the
     # gather formulation where both corners read the same value
-    Wx = jnp.zeros((n, w), fmap.dtype)
-    Wx = Wx.at[jnp.arange(n), x0].add(x1f - x)
-    Wx = Wx.at[jnp.arange(n), x1].add(x - x0f)
-    Wy = jnp.zeros((n, h), fmap.dtype)
-    Wy = Wy.at[jnp.arange(n), y0].add(y1f - y)
-    Wy = Wy.at[jnp.arange(n), y1].add(y - y0f)
-    prec = jax.lax.Precision.HIGHEST
-    rows = jnp.einsum("nh,hwc->nwc", Wy, fmap, precision=prec)  # (N, W, C)
-    out = jnp.einsum("nwc,nw->nc", rows, Wx, precision=prec)  # (N, C)
+    colw = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+    Wx = ((colw == x0[:, None]) * (x1f - x)[:, None]
+          + (colw == x1[:, None]) * (x - x0f)[:, None]).astype(fmap.dtype)
+    colh = jax.lax.broadcasted_iota(jnp.int32, (n, h), 1)
+    Wy = ((colh == y0[:, None]) * (y1f - y)[:, None]
+          + (colh == y1[:, None]) * (y - y0f)[:, None]).astype(fmap.dtype)
+    # f32 maps (tests/CPU) keep the exact f32 contract; bf16 maps (TPU
+    # frontend) take the native bf16 MXU pass with f32 accumulation
+    prec = (jax.lax.Precision.HIGHEST if fmap.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    rows = jnp.einsum("nh,hwc->nwc", Wy, fmap, precision=prec,
+                      preferred_element_type=jnp.float32)  # (N, W, C)
+    out = jnp.einsum("nwc,nw->nc", rows.astype(fmap.dtype), Wx, precision=prec,
+                     preferred_element_type=jnp.float32)  # (N, C)
     return out.reshape(shape + (fmap.shape[-1],))
 
 

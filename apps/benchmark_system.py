@@ -166,8 +166,20 @@ def main():
         os.makedirs(args.profile, exist_ok=True)
         jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
-    for i in range(1, args.frames):
-        builder.add_input(ts[i], lefts[i], rights[i], None)
+    if args.pipelined:
+        from airslam_tpu.pipelines.map_builder import PipelinedRunner
+
+        class _Seq:
+            def __len__(self):
+                return args.frames - 1
+
+            def get(self, i):
+                return ts[i + 1], lefts[i + 1], rights[i + 1], None
+
+        PipelinedRunner(builder).run(_Seq())
+    else:
+        for i in range(1, args.frames):
+            builder.add_input(ts[i], lefts[i], rights[i], None)
     elapsed = time.perf_counter() - t0
     if args.profile:
         jax.profiler.stop_trace()
