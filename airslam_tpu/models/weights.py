@@ -64,6 +64,29 @@ def checkpoint_path(name: str) -> str:
     return os.path.normpath(os.path.join(_CHECKPOINT_DIR, name))
 
 
+def load_default_frontend(use_superpoint: bool = False, matcher: int = 0):
+    """(detector_params, matcher_params) from the shipped trained checkpoints
+    (synthetic-shapes training, apps/train_plnet.py / train_matcher.py), or
+    None where absent. The stage-1 LOI head inside plnet_s0.npz starts from
+    the reference's imported plnet_s1.onnx weights."""
+    det = None
+    p0 = checkpoint_path("plnet_s0.npz")
+    if os.path.exists(p0):
+        z = load_params(p0)
+        det = {"plnet": z["plnet"], "loi": z["loi"]}
+        sp = checkpoint_path("superpoint.npz")
+        if use_superpoint and os.path.exists(sp):
+            det["superpoint"] = load_params(sp)
+        elif use_superpoint:
+            det = None  # incomplete set — caller falls back to random init
+    mat = None
+    if matcher == 0:
+        lg = checkpoint_path("lightglue.npz")
+        if os.path.exists(lg):
+            mat = load_params(lg)
+    return det, mat
+
+
 def load_or_init(path: str, init_fn):
     """Load params from ``path`` if present, else initialize (and persist)."""
     if path and os.path.exists(path):

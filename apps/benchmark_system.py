@@ -144,16 +144,12 @@ def main():
 
     det_cfg = DetectorConfig(max_keypoints=400, use_superpoint=False,
                              dtype=jnp.bfloat16)
-    det_params = None
-    ckpt = (os.path.join(args.model_dir, "plnet_s0.npz") if args.model_dir
-            else wio.checkpoint_path("plnet_s0.npz"))
-    if os.path.exists(ckpt):
-        det_params = wio.load_params(ckpt)
-        det_params = {"plnet": det_params["plnet"], "loi": det_params["loi"]}
-        print(f"loaded trained detector weights: {ckpt}")
+    det_params, mat_params = wio.load_default_frontend(use_superpoint=False)
+    if det_params is not None:
+        print("loaded trained detector/matcher checkpoints")
     detector = FeatureDetector(det_cfg, params=det_params)
     matcher = PointMatcher(MatcherConfig(matcher=0, max_keypoints=400,
-                                         dtype=jnp.bfloat16))
+                                         dtype=jnp.bfloat16), params=mat_params)
     cam = SynthCamera(args.height, args.width)
     builder = MapBuilder(cam, detector, matcher)
     timer = Timer()

@@ -59,6 +59,10 @@ def main():
     if args.model_dir:
         mp = os.path.join(args.model_dir, "lightglue.npz")
         mat_params = load_params(mp) if os.path.exists(mp) else None
+    if mat_params is None:
+        from airslam_tpu.models.weights import load_default_frontend
+
+        _, mat_params = load_default_frontend(matcher=cfg.matcher.matcher)
     matcher = PointMatcher(cfg.matcher, params=mat_params)
 
     refiner = MapRefiner(m, matcher, voc)

@@ -69,6 +69,12 @@ def main():
         det_params = load_params(dp) if os.path.exists(dp) else None
         mat_params = load_params(mp) if os.path.exists(mp) else None
 
+    if det_params is None or mat_params is None:
+        from airslam_tpu.models.weights import load_default_frontend
+
+        d0, m0 = load_default_frontend(cfg.detector.use_superpoint, cfg.matcher.matcher)
+        det_params = det_params or d0
+        mat_params = mat_params or m0
     detector = FeatureDetector(cfg.detector, params=det_params)
     matcher = PointMatcher(cfg.matcher, params=mat_params)
     user = MapUser(m, detector, matcher, point_db, junction_db,

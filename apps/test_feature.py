@@ -53,6 +53,10 @@ def main():
     if args.model_dir:
         dp = os.path.join(args.model_dir, "plnet.npz")
         det_params = load_params(dp) if os.path.exists(dp) else None
+    if det_params is None:
+        from airslam_tpu.models.weights import load_default_frontend
+
+        det_params, _ = load_default_frontend(use_superpoint=False)
     detector = FeatureDetector(cfg, params=det_params)
 
     camera = Camera(args.camera_config_path) if args.camera_config_path else None

@@ -37,8 +37,8 @@ def main():
     jaxcache.enable()
     from __graft_entry__ import entry
 
-    fn, args = entry()
-    plp, loip, lgp, _ = args
+    fn, entry_args = entry()
+    plp, loip, lgp, _ = entry_args
 
     @jax.jit
     def run_frames(plp, loip, lgp, frames, seed):
@@ -61,13 +61,18 @@ def main():
 
         os.makedirs(args.profile, exist_ok=True)
         jax.profiler.start_trace(args.profile)
+    # T spread of 240 frames amortizes the tunnel's variable per-invocation
+    # overhead 4× better than the original 4/64 pair; min-of-5 suppresses
+    # sustained-rate wander (consecutive identical runs were observed ±20%
+    # apart through the tunnel)
+    T_LO, T_HI, REPS = 16, 256, 5
     best = {}
-    for T in (4, 64):
+    for T in (T_LO, T_HI):
         frames = jnp.asarray(rng.rand(T, 2, 480, 752).astype(np.float32))
         c = run_frames(plp, loip, lgp, frames, jnp.asarray(0.0, jnp.float32))
         _ = float(np.asarray(c))  # compile + warmup, genuine sync
         times = []
-        for rep in range(3):
+        for rep in range(REPS):
             seed = jnp.asarray(1e-5 * (rep + 1), jnp.float32)
             t0 = time.perf_counter()
             c = run_frames(plp, loip, lgp, frames, seed)
@@ -77,7 +82,7 @@ def main():
 
     if args.profile:
         jax.profiler.stop_trace()
-    dt = (best[64] - best[4]) / 60.0
+    dt = (best[T_HI] - best[T_LO]) / (T_HI - T_LO)
     hz = 1.0 / dt
     print(
         json.dumps(
