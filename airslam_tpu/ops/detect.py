@@ -60,6 +60,30 @@ def topk_keypoints(
         & (ys <= h - border)
     )
     masked = jnp.where(keep, heat, jnp.zeros_like(heat))
+
+    if not exact and h % 8 == 0 and w % 8 == 0 and (h // 8) * (w // 8) >= 2 * k:
+        # two-stage: every top-k PIXEL lives in a top-k CELL by cell-max
+        # (each qualifying cell holds ≥1 pixel ≥ the k-th score, and there
+        # are at most k such cells), so top-k cells → exact top-k over their
+        # k·64 pixels. One small approx pass + one 25k-element sort instead
+        # of a PartialReduce over the full 512² plane (~0.3 ms/frame saved).
+        hc, wc = h // 8, w // 8
+        cells = masked.reshape(hc, 8, wc, 8).transpose(0, 2, 1, 3).reshape(hc * wc, 64)
+        cmax = jnp.max(cells, axis=1)
+        _, cidx = top_k(cmax, k)
+        cand = cells[cidx]  # (k, 64)
+        scores, flat = jax.lax.top_k(cand.reshape(-1), k)
+        ci = cidx[flat // 64]
+        within = flat % 64
+        x = ((ci % wc) * 8 + within % 8).astype(heat.dtype)
+        y = ((ci // wc) * 8 + within // 8).astype(heat.dtype)
+        valid = scores > 0
+        return Keypoints(
+            xy=jnp.stack([x, y], axis=-1),
+            score=jnp.where(valid, scores, jnp.zeros_like(scores)),
+            mask=valid,
+        )
+
     scores, idx = top_k(masked.reshape(-1), k, exact)
     x = (idx % w).astype(heat.dtype)
     y = (idx // w).astype(heat.dtype)

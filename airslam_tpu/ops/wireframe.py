@@ -109,14 +109,34 @@ def dedup_pairs(
     feeds it via the reversed-ScatterElements trick inside plnet_s1.onnx).
     """
     p = keep.shape[0]
+    n_keys = num_junctions * num_junctions
+    # sort-based unique-with-first-occurrence: pack (key, order) into one
+    # int32, sort (P log P over P≤4096 beats a scatter-min over the 90,000-
+    # slot key space + a 90,000-wide top-k — those two ops were ~0.6 ms/frame
+    # of the fused frontend), mark each key's first sorted entry, then rank
+    # the survivors by original order. Exact, not approximate.
     key = jmin * num_junctions + jmax  # (P,)
     order = jnp.arange(p, dtype=jnp.int32)
-    slot = jnp.full((num_junctions * num_junctions,), p, dtype=jnp.int32)
-    slot = slot.at[key].min(jnp.where(keep, order, p))
-    # top-max_lines smallest first-occurrence orders = the reference's
-    # unique-id ordering truncated to a static budget.
-    neg_order, uniq_key = top_k(-slot, max_lines)
-    uniq_key = uniq_key.astype(jnp.int32)
+    if n_keys * p < 2**31:
+        packed = jnp.where(keep, key * p + order, jnp.int32(n_keys * p))
+        packed = jnp.sort(packed)
+        skey = packed // p
+        sorder = packed % p
+        is_first = jnp.concatenate(
+            [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
+        ) & (skey < n_keys)
+        rank = jnp.where(is_first, sorder, p)  # first occurrence, else pad
+        if p < max_lines:  # tiny inputs (tests): pad so k ≤ n
+            rank = jnp.concatenate([rank, jnp.full((max_lines - p,), p, rank.dtype)])
+            skey = jnp.concatenate([skey, jnp.full((max_lines - p,), n_keys, skey.dtype)])
+        neg_order, sel = top_k(-rank, max_lines)
+        uniq_key = skey[sel]
+    else:
+        # pack would overflow int32 (unprefiltered P): scatter-min fallback
+        slot = jnp.full((n_keys,), p, dtype=jnp.int32)
+        slot = slot.at[key].min(jnp.where(keep, order, p))
+        neg_order, uniq_key = top_k(-slot, max_lines)
+        uniq_key = uniq_key.astype(jnp.int32)
     first_occ = -neg_order
     valid = first_occ < p
     pair_min = (uniq_key // num_junctions).astype(jnp.int32)
