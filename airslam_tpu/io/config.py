@@ -61,10 +61,18 @@ def parse_detector_config(node: dict) -> DetectorConfig:
 
 def parse_matcher_config(node: dict) -> MatcherConfig:
     m = node.get("point_matcher", {})
+    matcher = int(m.get("matcher", 0))
+    # matcher: 1 defaults to the shipped checkpoint's Sinkhorn depth (the
+    # reference ships OT disabled, but our trained superglue.npz is trained
+    # through it); YAML key sinkhorn_iterations overrides.
+    from airslam_tpu.models.superglue import SG_SINKHORN_ITERS
+
+    default_sk = 0 if matcher == 0 else SG_SINKHORN_ITERS
     return MatcherConfig(
-        matcher=int(m.get("matcher", 0)),
+        matcher=matcher,
         image_width=int(m.get("image_width", 752)),
         image_height=int(m.get("image_height", 480)),
+        sinkhorn_iterations=int(m.get("sinkhorn_iterations", default_sk)),
     )
 
 

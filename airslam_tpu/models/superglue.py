@@ -24,6 +24,11 @@ import jax.numpy as jnp
 from airslam_tpu.ops.attention import mha
 from airslam_tpu.ops.match import log_sinkhorn
 
+# The shipped superglue.npz checkpoint is trained THROUGH Sinkhorn with this
+# iteration count (apps/train_matcher.py --arch superglue); inference must use
+# the same so the exp > 0.2 decode sees genuine transport log-probs.
+SG_SINKHORN_ITERS = 20
+
 
 class KeypointEncoder(nn.Module):
     dim: int
@@ -71,6 +76,10 @@ class SuperGlue(nn.Module):
     heads: int = 4
     gnn_layers: int = 9
     sinkhorn_iterations: int = 0  # 0 = raw scores (reference behavior)
+    # training-only: return the full (N0+1, N1+1) transport plan including the
+    # dustbin row/col so unmatched keypoints can be supervised directly. Does
+    # not change the parameter tree — inference uses return_full=False.
+    return_full: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -96,5 +105,5 @@ class SuperGlue(nn.Module):
         if self.sinkhorn_iterations > 0:
             bin_score = self.param("bin_score", nn.initializers.ones, ())
             z = log_sinkhorn(scores, mask0, mask1, bin_score, self.sinkhorn_iterations)
-            scores = z[:-1, :-1]
+            scores = z if self.return_full else z[:-1, :-1]
         return scores

@@ -80,10 +80,9 @@ def load_default_frontend(use_superpoint: bool = False, matcher: int = 0):
         elif use_superpoint:
             det = None  # incomplete set — caller falls back to random init
     mat = None
-    if matcher == 0:
-        lg = checkpoint_path("lightglue.npz")
-        if os.path.exists(lg):
-            mat = load_params(lg)
+    mp = checkpoint_path("lightglue.npz" if matcher == 0 else "superglue.npz")
+    if os.path.exists(mp):
+        mat = load_params(mp)
     return det, mat
 
 

@@ -90,10 +90,22 @@ def init_train_state(model: LightGlue, n: int, lr: float = 1e-4, seed: int = 0):
 # ---------------------------------------------------------------------------
 
 
-def make_rendered_batch(plnet_apply, plnet_params, key, image_size: int = 512):
+def _heat_at(heat: jax.Array, pts: jax.Array) -> jax.Array:
+    """Nearest-pixel heatmap values at (x, y) points — stands in for the
+    detector's per-keypoint score at training time."""
+    h, w = heat.shape
+    x = jnp.clip(jnp.round(pts[:, 0]).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(pts[:, 1]).astype(jnp.int32), 0, h - 1)
+    return heat[y, x]
+
+
+def make_rendered_batch(plnet_apply, plnet_params, key, image_size: int = 512,
+                        norm_scale: float = 0.5, with_scores: bool = False):
     """One training example from a rendered affine pair. Returns
     (kpts0n, d0, m0, kpts1n, d1, m1, matched_mask, only0, only1); token count
-    is the static corner budget."""
+    is the static corner budget. With ``with_scores`` (SuperGlue's keypoint
+    encoder consumes detection scores) the tuple gains per-keypoint heatmap
+    scores after each kpts entry."""
     from airslam_tpu.frontend import synthgen
     from airslam_tpu.models.lightglue import normalize_keypoints
     from airslam_tpu.ops.gridsample import sample_descriptors
@@ -111,8 +123,12 @@ def make_rendered_batch(plnet_apply, plnet_params, key, image_size: int = 512):
     m0 = s0.corner_mask
     m1 = s1.corner_mask
     both = m0 & m1
-    k0 = normalize_keypoints(c0, image_size, image_size, 0.5)
-    k1 = normalize_keypoints(c1, image_size, image_size, 0.5)
+    k0 = normalize_keypoints(c0, image_size, image_size, norm_scale)
+    k1 = normalize_keypoints(c1, image_size, image_size, norm_scale)
+    if with_scores:
+        sc0 = _heat_at(out["scores"][0], c0)
+        sc1 = _heat_at(out["scores"][1], c1)
+        return k0, sc0, d0, m0, k1, sc1, d1, m1, both, m0 & ~m1, m1 & ~m0
     return k0, d0, m0, k1, d1, m1, both, m0 & ~m1, m1 & ~m0
 
 
@@ -140,6 +156,62 @@ def make_rendered_train_step(model: LightGlue, tx, plnet_apply, plnet_params):
                 lambda k: make_rendered_batch(plnet_apply, plnet_params, k)
             )(keys)
             return rendered_match_loss(model, p, batch)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss
+
+    return train_step
+
+
+# ---------------------------------------------------------------------------
+# SuperGlue (matcher: 1) on the same rendered pairs. Trained THROUGH its
+# Sinkhorn optimal transport (return_full=True exposes the dustbin row/col) so
+# the learned bin_score routes single-view corners to the dustbin and the
+# inference-time exp > 0.2 mutual-argmax decode (super_glue.cpp:339-367)
+# operates on genuine log transport probabilities.
+# ---------------------------------------------------------------------------
+
+from airslam_tpu.models.superglue import SG_SINKHORN_ITERS  # noqa: F401 (re-export)
+
+
+def init_train_state_sg(model, n: int, lr: float = 1e-4, seed: int = 0):
+    key = jax.random.PRNGKey(seed)
+    kpts = jnp.zeros((n, 2), jnp.float32)
+    sc = jnp.zeros((n,), jnp.float32)
+    desc = jnp.zeros((n, 256), jnp.float32)
+    mask = jnp.ones((n,), jnp.bool_)
+    params = model.init(key, kpts, sc, desc, mask, kpts, sc, desc, mask)
+    tx = optax.adam(lr)
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)), tx
+
+
+def rendered_match_loss_sg(model, params, batch):
+    """Full-plan supervision: matched corners maximize their diagonal
+    transport log-prob; single-view corners maximize their dustbin entry."""
+
+    def one(k0, s0, d0, m0, k1, s1, d1, m1, both, only0, only1):
+        z = model.apply(params, k0, s0, d0, m0, k1, s1, d1, m1)  # (N+1, N+1)
+        diag = jnp.diagonal(z[:-1, :-1])
+        l_match = -jnp.sum(jnp.where(both, diag, 0.0)) / jnp.maximum(jnp.sum(both), 1.0)
+        l_un0 = -jnp.sum(jnp.where(only0, z[:-1, -1], 0.0)) / jnp.maximum(
+            jnp.sum(only0), 1.0)
+        l_un1 = -jnp.sum(jnp.where(only1, z[-1, :-1], 0.0)) / jnp.maximum(
+            jnp.sum(only1), 1.0)
+        return l_match + 0.5 * (l_un0 + l_un1)
+
+    return jnp.mean(jax.vmap(one)(*batch))
+
+
+def make_rendered_train_step_sg(model, tx, plnet_apply, plnet_params):
+    def train_step(state: TrainState, keys):
+        def loss_fn(p):
+            batch = jax.vmap(
+                lambda k: make_rendered_batch(
+                    plnet_apply, plnet_params, k, norm_scale=0.7, with_scores=True)
+            )(keys)
+            return rendered_match_loss_sg(model, p, batch)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

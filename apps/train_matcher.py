@@ -1,8 +1,9 @@
-"""Train LightGlue on rendered affine scene pairs described by the (frozen)
-trained PLNet — saves airslam_tpu/checkpoints/lightglue.npz, which
-PointMatcher-based apps load via --model_dir or the default checkpoint path.
+"""Train LightGlue or SuperGlue on rendered affine scene pairs described by
+the (frozen) trained PLNet — saves airslam_tpu/checkpoints/{lightglue,
+superglue}.npz, which PointMatcher-based apps load via the default checkpoint
+path.
 
-Usage: python apps/train_matcher.py --steps 1500 --batch 4
+Usage: python apps/train_matcher.py --steps 1500 --batch 4 [--arch superglue]
 """
 
 from __future__ import annotations
@@ -21,6 +22,7 @@ import optax
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", choices=["lightglue", "superglue"], default="lightglue")
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-4)
@@ -48,15 +50,24 @@ def main():
     plnet = PLNet()
     plnet_params = wio.load_params(s0_ckpt)["plnet"]
 
-    model = LightGlue()
     n = synthgen.MAX_CORNERS
-    ckpt = wio.checkpoint_path("lightglue.npz")
-    state, tx = training.init_train_state(model, n, lr=args.lr, seed=args.seed)
+    if args.arch == "lightglue":
+        model = LightGlue()
+        ckpt = wio.checkpoint_path("lightglue.npz")
+        state, tx = training.init_train_state(model, n, lr=args.lr, seed=args.seed)
+        make_step = training.make_rendered_train_step
+    else:
+        from airslam_tpu.models.superglue import SuperGlue
+
+        model = SuperGlue(sinkhorn_iterations=training.SG_SINKHORN_ITERS,
+                          return_full=True)
+        ckpt = wio.checkpoint_path("superglue.npz")
+        state, tx = training.init_train_state_sg(model, n, lr=args.lr, seed=args.seed)
+        make_step = training.make_rendered_train_step_sg
     if args.resume and os.path.exists(ckpt):
         params = wio.load_params(ckpt)
         state = training.TrainState(params, tx.init(params), state.step)
-    step_fn = jax.jit(training.make_rendered_train_step(
-        model, tx, plnet.apply, plnet_params))
+    step_fn = jax.jit(make_step(model, tx, plnet.apply, plnet_params))
 
     key = jax.random.PRNGKey(args.seed + 7)
     t0 = time.time()

@@ -136,6 +136,39 @@ def test_trained_matcher_on_detected_features(detector):
     assert (err < 4.0).mean() > 0.9, f"{(err < 4.0).sum()}/{len(pairs)}"
 
 
+def test_trained_superglue_on_detected_features(detector):
+    """Trained SuperGlue (matcher: 1, Sinkhorn OT) on trained-detector
+    features: accepted matches must be geometrically correct under the known
+    affine view change (super_glue.cpp:339-367 decode semantics)."""
+    import jax
+    import jax.tree_util as jtu
+
+    mckpt = wio.checkpoint_path("superglue.npz")
+    if not os.path.exists(mckpt):
+        pytest.skip("trained superglue checkpoint absent")
+    from airslam_tpu.frontend import synthgen
+    from airslam_tpu.frontend.matcher import MatcherConfig, PointMatcher
+    from airslam_tpu.models.superglue import SG_SINKHORN_ITERS
+
+    pm = PointMatcher(
+        MatcherConfig(matcher=1, max_keypoints=400, image_width=512,
+                      image_height=512, sinkhorn_iterations=SG_SINKHORN_ITERS),
+        params=wio.load_params(mckpt),
+    )
+    key = jax.random.PRNGKey(42)
+    _, k2, _, _ = jax.random.split(key, 4)  # render_pair's affine key
+    A, t = synthgen.random_affine(k2, 512)
+    A, t = np.asarray(A), np.asarray(t)
+    s0, s1 = synthgen.render_pair(key)
+    f0 = jtu.tree_map(lambda x: np.asarray(x[0]), detector.detect(np.asarray(s0.image)[None]))
+    f1 = jtu.tree_map(lambda x: np.asarray(x[0]), detector.detect(np.asarray(s1.image)[None]))
+    pairs, _ = pm.matching_points(f0, f1)
+    assert len(pairs) >= 25
+    pred = f0.keypoints[pairs[:, 0]] @ A.T + t
+    err = np.linalg.norm(pred - f1.keypoints[pairs[:, 1]], axis=-1)
+    assert (err < 4.0).mean() > 0.9, f"{(err < 4.0).sum()}/{len(pairs)}"
+
+
 def test_descriptors_match_across_views(detector):
     """Descriptors of the same 3D corners match across an affine view change
     (mutual nearest neighbors mostly correct)."""
