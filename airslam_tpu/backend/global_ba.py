@@ -32,11 +32,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from airslam_tpu.backend import gn
 from airslam_tpu.backend import residuals as res
-from airslam_tpu.backend.gn import BAConfig
+from airslam_tpu.backend.gn import BAConfig, IMUFactors
 from airslam_tpu.core import lie
 
 POSE_DIM = 6
+FRAME_DIM = 15  # pose 6 + vel 3 + bias 6 (VI maps)
 
 
 class SparseBAProblem(NamedTuple):
@@ -63,6 +65,18 @@ class SparseBAProblem(NamedTuple):
     # camera
     Rcb: jax.Array
     tcb: jax.Array
+    # visual-inertial map state (None ⇒ vision-only). When ``imu`` is set the
+    # reduced system grows to 15 dof/frame (pose | velocity | gyr+acc bias)
+    # and the preintegration chain couples consecutive keyframes directly in
+    # the reduced camera matrix (IMU edges touch no landmarks, so the Schur
+    # trick is unchanged). Gravity is pinned — GlobalBA runs after VI
+    # initialization has aligned the world frame (g2o_optimization.cc:1488).
+    vel: Optional[jax.Array] = None  # (F, 3)
+    bg: Optional[jax.Array] = None  # (F, 3)
+    ba: Optional[jax.Array] = None  # (F, 3)
+    vel_fixed: Optional[jax.Array] = None  # (F,) bool
+    Rwg: Optional[jax.Array] = None  # (3, 3)
+    imu: Optional[IMUFactors] = None
 
 
 def _point_rj(prob: SparseBAProblem, intr, with_jac: bool):
@@ -144,6 +158,11 @@ def line_chi2(prob: SparseBAProblem, intr):
     return jnp.sum(r * r * row_mask, axis=-1) * prob.lobs_sigma
 
 
+def _frame_states(prob: SparseBAProblem) -> gn.FrameStates:
+    return gn.FrameStates(Rwb=prob.Rwb, twb=prob.twb, vel=prob.vel,
+                          bg=prob.bg, ba=prob.ba)
+
+
 def _total_cost(prob, intr, cfg: BAConfig, robust: bool):
     pchi2, _ = point_chi2(prob, intr)
     pthr = jnp.where(prob.pobs[:, 2] >= 0, cfg.stereo_point, cfg.mono_point)
@@ -152,12 +171,28 @@ def _total_cost(prob, intr, cfg: BAConfig, robust: bool):
     if robust:
         from airslam_tpu.backend.gn import _huber_cost
 
-        return _huber_cost(pchi2, pthr, prob.pobs_mask) + _huber_cost(
+        cost = _huber_cost(pchi2, pthr, prob.pobs_mask) + _huber_cost(
             lchi2, lthr, prob.lobs_mask
         )
-    return jnp.sum(jnp.where(prob.pobs_mask, pchi2, 0.0)) + jnp.sum(
-        jnp.where(prob.lobs_mask, lchi2, 0.0)
-    )
+    else:
+        cost = jnp.sum(jnp.where(prob.pobs_mask, pchi2, 0.0)) + jnp.sum(
+            jnp.where(prob.lobs_mask, lchi2, 0.0)
+        )
+    if prob.imu is not None:
+        r, _ = gn.imu_residuals(_frame_states(prob), prob.imu, prob.Rwg, False)
+        r9, rw = r[:, :9], r[:, 9:15]
+        info9 = prob.imu.info * cfg.imu_info_scale
+        c_imu = jnp.einsum("ki,kij,kj->k", r9, info9, r9)
+        c_walk = jnp.einsum("ki,kij,kj->k", rw, prob.imu.info_walk, rw)
+        if robust:
+            from airslam_tpu.backend.gn import _huber_cost
+
+            cost = cost + _huber_cost(c_imu, jnp.full_like(c_imu, 16.92),
+                                      prob.imu.mask)
+        else:
+            cost = cost + jnp.sum(jnp.where(prob.imu.mask, c_imu, 0.0))
+        cost = cost + jnp.sum(jnp.where(prob.imu.mask, c_walk, 0.0))
+    return cost
 
 
 def _schur_accumulate(W, Hinv, bland, table, fidx, f, chunk: int, tan: int):
@@ -282,11 +317,77 @@ def _assemble_and_solve(prob: SparseBAProblem, intr, cfg, lam, robust,
     bs = bs + bs2
 
     # -- reduced camera system ------------------------------------------------
-    D = f * POSE_DIM
-    Hred = (
-        _blockdiag(Hcc) - S.transpose(0, 2, 1, 3).reshape(D, D)
-    )
-    bred = (bc - bs).reshape(D)
+    if prob.imu is None:
+        D = f * POSE_DIM
+        Hred = (
+            _blockdiag(Hcc) - S.transpose(0, 2, 1, 3).reshape(D, D)
+        )
+        bred = (bc - bs).reshape(D)
+        dvi = None
+    else:
+        # VI maps: 15 dof/frame. The visual (pose-only) reduced system embeds
+        # in the pose sub-blocks; preintegration + bias-walk factor blocks
+        # scatter across the (frame_i, frame_j) pairs (gravity pinned).
+        D = f * FRAME_DIM
+        Hred = jnp.zeros((D, D), dtype)
+        bred = jnp.zeros((D,), dtype)
+        pose_cols = (
+            jnp.arange(f)[:, None] * FRAME_DIM + jnp.arange(POSE_DIM)[None, :]
+        ).reshape(-1)
+        Hvis = _blockdiag(Hcc) - S.transpose(0, 2, 1, 3).reshape(
+            f * POSE_DIM, f * POSE_DIM)
+        Hred = Hred.at[jnp.ix_(pose_cols, pose_cols)].add(Hvis)
+        bred = bred.at[pose_cols].add((bc - bs).reshape(-1))
+
+        imu = prob.imu
+        ir, iJ = gn.imu_residuals(_frame_states(prob), imu, prob.Rwg, True)
+        info9 = imu.info * cfg.imu_info_scale
+        if robust:
+            c_imu = jnp.einsum("ki,kij,kj->k", ir[:, :9], info9, ir[:, :9])
+            wi = res.huber_weight(c_imu, jnp.full_like(c_imu, 16.92))
+        else:
+            wi = jnp.ones((ir.shape[0],), dtype)
+        wi = wi * imu.mask
+        big_info = jnp.zeros((ir.shape[0], 15, 15), dtype)
+        big_info = big_info.at[:, :9, :9].set(info9 * wi[:, None, None])
+        big_info = big_info.at[:, 9:15, 9:15].set(
+            imu.info_walk * imu.mask[:, None, None].astype(dtype)
+        )
+
+        vel_free = (~prob.vel_fixed).astype(dtype)
+
+        def col_mask_for(idx):
+            return jnp.concatenate([
+                jnp.full((6,), 1.0, dtype) * pose_free[idx],
+                jnp.full((9,), 1.0, dtype) * vel_free[idx],
+            ])
+
+        cm_i = jax.vmap(col_mask_for)(imu.idx_i)  # (K, 15)
+        cm_j = jax.vmap(col_mask_for)(imu.idx_j)
+        cm = jnp.concatenate(
+            [cm_i, cm_j, jnp.zeros((ir.shape[0], 2), dtype)], axis=1
+        )
+        iJ = iJ * cm[:, None, :]
+        JtW = jnp.einsum("krc,krs->ksc", iJ, big_info)  # (K, 15, 32)
+        Hk = jnp.einsum("ksc,ksd->kcd", JtW, iJ)[:, :30, :30]  # (K, 30, 30)
+        bk = -jnp.einsum("ksc,ks->kc", JtW, ir)[:, :30]
+
+        def factor_cols(k):
+            ci = imu.idx_i[k] * FRAME_DIM + jnp.arange(FRAME_DIM)
+            cj = imu.idx_j[k] * FRAME_DIM + jnp.arange(FRAME_DIM)
+            return jnp.concatenate([ci, cj])
+
+        cols = jax.vmap(factor_cols)(jnp.arange(ir.shape[0]))  # (K, 30)
+
+        def scatter_one(carry, kc):
+            Hc, bc2 = carry
+            Hk_k, bk_k, col = kc
+            Hc = Hc.at[col[:, None], col[None, :]].add(Hk_k)
+            bc2 = bc2.at[col].add(bk_k)
+            return (Hc, bc2), None
+
+        (Hred, bred), _ = jax.lax.scan(scatter_one, (Hred, bred), (Hk, bk, cols))
+
     diag = jnp.diagonal(Hred)
     Hred = Hred + jnp.diag(jnp.where(diag < 1e-10, 1.0, 0.0) + lam * jnp.maximum(diag, 1.0))
     # Jacobi (symmetric diagonal) preconditioning: BA Hessians mix pixel²
@@ -294,7 +395,13 @@ def _assemble_and_solve(prob: SparseBAProblem, intr, cfg, lam, robust,
     # scaling to a unit diagonal keeps the solve accurate in f32 on the MXU.
     d = jnp.sqrt(jnp.maximum(jnp.diagonal(Hred), 1e-12))
     Hs = Hred / (d[:, None] * d[None, :])
-    dxc = (jnp.linalg.solve(Hs, bred / d) / d).reshape(f, POSE_DIM)
+    dx = jnp.linalg.solve(Hs, bred / d) / d
+    if prob.imu is None:
+        dxc = dx.reshape(f, POSE_DIM)
+    else:
+        dx = dx.reshape(f, FRAME_DIM)
+        dxc = dx[:, 0:6]
+        dvi = (dx[:, 6:9], dx[:, 9:12], dx[:, 12:15])
 
     # -- back-substitute landmarks --------------------------------------------
     # rhs_p = bp - Σ_obs W^T dxc[f(obs)]
@@ -304,7 +411,7 @@ def _assemble_and_solve(prob: SparseBAProblem, intr, cfg, lam, robust,
     contrib_l = jnp.einsum("nij,ni->nj", Wcl, dxc[prob.lobs_fidx])
     rhs_l = bl - jnp.zeros_like(bl).at[prob.lobs_lidx].add(contrib_l)
     dl = jnp.einsum("lij,lj->li", Hll_inv, rhs_l)
-    return dxc, dp, dl
+    return dxc, dp, dl, dvi
 
 
 def _blockdiag(blocks):
@@ -313,13 +420,19 @@ def _blockdiag(blocks):
     return jnp.einsum("fg,fij->figj", eye, blocks).reshape(f * k, f * k)
 
 
-def _apply(prob: SparseBAProblem, dxc, dp, dl) -> SparseBAProblem:
+def _apply(prob: SparseBAProblem, dxc, dp, dl, dvi) -> SparseBAProblem:
     dt = prob.twb.dtype
     Rwb, twb = jax.vmap(res.retract_pose)(prob.Rwb, prob.twb, dxc.astype(dt))
     lines = jax.vmap(lie.line_orthonormal_oplus)(prob.lines, dl.astype(prob.lines.dtype))
-    return prob._replace(Rwb=Rwb.astype(dt), twb=twb.astype(dt),
-                         points=prob.points + dp.astype(prob.points.dtype),
-                         lines=lines.astype(prob.lines.dtype))
+    out = prob._replace(Rwb=Rwb.astype(dt), twb=twb.astype(dt),
+                        points=prob.points + dp.astype(prob.points.dtype),
+                        lines=lines.astype(prob.lines.dtype))
+    if dvi is not None:
+        dvel, dbg, dba = dvi
+        out = out._replace(vel=prob.vel + dvel.astype(dt),
+                           bg=prob.bg + dbg.astype(dt),
+                           ba=prob.ba + dba.astype(dt))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "robust", "chunk"))
@@ -331,8 +444,8 @@ def optimize(prob: SparseBAProblem, intr, cfg: BAConfig, iterations: int,
 
     def body(carry, _):
         state, lam, nu, cost = carry
-        dxc, dp, dl = _assemble_and_solve(state, intr, cfg, lam, robust, chunk)
-        cand = _apply(state, dxc, dp, dl)
+        dxc, dp, dl, dvi = _assemble_and_solve(state, intr, cfg, lam, robust, chunk)
+        cand = _apply(state, dxc, dp, dl, dvi)
         new_cost = _total_cost(cand, intr, cfg, robust).astype(dt)
         accept = new_cost < cost
         state2 = jax.tree_util.tree_map(

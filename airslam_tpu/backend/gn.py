@@ -194,10 +194,13 @@ def _line_grid_residuals(problem: BAProblem, intr, with_jac: bool):
 
 
 def _imu_residuals(problem: BAProblem, with_jac: bool):
-    """Residuals/Jacobians for IMU factors. Delta layout per factor:
-    (frame_i 15 | frame_j 15 | gravity 2) = 32."""
-    fr = problem.frames
-    imu = problem.imu
+    return imu_residuals(problem.frames, problem.imu, problem.Rwg, with_jac)
+
+
+def imu_residuals(fr: FrameStates, imu: IMUFactors, Rwg, with_jac: bool):
+    """Residuals/Jacobians for IMU factors (shared by the dense window solver
+    and the sparse map-scale solver in backend/global_ba.py). Delta layout per
+    factor: (frame_i 15 | frame_j 15 | gravity 2) = 32."""
 
     def one(k):
         i = imu.idx_i[k]
@@ -215,7 +218,7 @@ def _imu_residuals(problem: BAProblem, with_jac: bool):
             vj2 = vj + dj[6:9]
             bgj2 = bgj + dj[9:12]
             baj2 = baj + dj[12:15]
-            Rwg2 = problem.Rwg @ lie.so3_exp(jnp.concatenate([dg, jnp.zeros(1)]))
+            Rwg2 = Rwg @ lie.so3_exp(jnp.concatenate([dg, jnp.zeros(1)]))
             r9 = res.imu_residual(
                 Ri2, ti2, vi2, Rj2, tj2, vj2, bgj2, baj2,
                 imu.dR[k], imu.dV[k], imu.dP[k],

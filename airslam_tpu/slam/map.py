@@ -544,8 +544,9 @@ class Map:
 
     def _sparse_global_ba(self, frames, pose_fixed, mpts, mpls, iters1, iters2,
                           max_obs: int = 16):
-        """Map-scale GlobalBA on the sparse observation-list solver (visual
-        factors; the IMU chain is handled by the dense path at window scale).
+        """Map-scale GlobalBA on the sparse observation-list solver. When VI
+        is initialized the keyframe preintegration chain joins the problem
+        (15 dof/frame, gravity pinned — g2o_optimization.cc:1488-1959).
         Points observed more than ``max_obs`` times keep their strongest
         ``max_obs`` constraints in the Schur pairing (all obs still gate)."""
         from airslam_tpu.backend import global_ba as gba
@@ -640,6 +641,19 @@ class Map:
             Rwb[k] = Twb[:3, :3]
             twb[k] = Twb[:3, 3]
 
+        vi = {}
+        if self.imu_initialized:
+            imu = self._imu_factors(frames)
+            if imu is not None:
+                vel = np.stack([fr.velocity for fr in frames])
+                bgs = np.stack([fr.bg for fr in frames])
+                bas = np.stack([fr.ba for fr in frames])
+                vi = dict(
+                    vel=jnp.asarray(vel), bg=jnp.asarray(bgs), ba=jnp.asarray(bas),
+                    vel_fixed=jnp.asarray(pose_fixed), Rwg=jnp.asarray(self.Rwg),
+                    imu=imu,
+                )
+
         prob = gba.SparseBAProblem(
             Rwb=jnp.asarray(Rwb), twb=jnp.asarray(twb),
             pose_fixed=jnp.asarray(pose_fixed),
@@ -653,6 +667,7 @@ class Map:
             lobs_mask=jnp.asarray(lmask), lobs_sigma=jnp.asarray(lsig_arr),
             line_obs_table=jnp.asarray(ltable),
             Rcb=jnp.asarray(Tcb[:3, :3]), tcb=jnp.asarray(Tcb[:3, 3]),
+            **vi,
         )
         return prob, (frame_index, n_real, m_real)
 
@@ -663,6 +678,9 @@ class Map:
         Tbc = np.linalg.inv(Tcb)
         Rwb = np.asarray(out.Rwb)
         twb = np.asarray(out.twb)
+        vel = None if out.vel is None else np.asarray(out.vel)
+        bgs = None if out.bg is None else np.asarray(out.bg)
+        bas = None if out.ba is None else np.asarray(out.ba)
         for k, fr in enumerate(frames):
             if pose_fixed[k]:
                 continue
@@ -670,6 +688,10 @@ class Map:
             Twb[:3, :3] = Rwb[k]
             Twb[:3, 3] = twb[k]
             fr.Twc = Twb @ Tbc
+            if vel is not None:
+                fr.velocity = vel[k]
+                fr.bg = bgs[k]
+                fr.ba = bas[k]
 
         pts = np.asarray(out.points)
         p_in = np.asarray(p_in)

@@ -120,6 +120,187 @@ def test_sharded_sparse_ba_matches_single_device():
     assert np.array_equal(np.asarray(p_in), np.asarray(p_ref))
 
 
+def _imu_factors_from_preints(preints):
+    rows = []
+    for k, p in enumerate(preints):
+        st = p.state
+        cov = np.asarray(st.cov)
+        info9 = np.linalg.inv(cov[:9, :9] + 1e-12 * np.eye(9))
+        walk = np.zeros((6, 6))
+        walk[:3, :3] = np.linalg.inv(cov[9:12, 9:12] + 1e-9 * np.eye(3))
+        walk[3:, 3:] = np.linalg.inv(cov[12:15, 12:15] + 1e-9 * np.eye(3))
+        rows.append((k, k + 1, st, info9, walk))
+    return gn.IMUFactors(
+        idx_i=jnp.asarray([r[0] for r in rows], jnp.int32),
+        idx_j=jnp.asarray([r[1] for r in rows], jnp.int32),
+        dR=jnp.stack([r[2].dR for r in rows]),
+        dV=jnp.stack([r[2].dV for r in rows]),
+        dP=jnp.stack([r[2].dP for r in rows]),
+        JRg=jnp.stack([r[2].JRg for r in rows]),
+        JVg=jnp.stack([r[2].JVg for r in rows]),
+        JVa=jnp.stack([r[2].JVa for r in rows]),
+        JPg=jnp.stack([r[2].JPg for r in rows]),
+        JPa=jnp.stack([r[2].JPa for r in rows]),
+        bg_lin=jnp.zeros((len(rows), 3)),
+        ba_lin=jnp.zeros((len(rows), 3)),
+        dT=jnp.asarray([float(r[2].dT) for r in rows]),
+        info=jnp.asarray(np.stack([r[3] for r in rows])),
+        info_walk=jnp.asarray(np.stack([r[4] for r in rows])),
+        mask=jnp.ones(len(rows), bool),
+    )
+
+
+def _empty_visual(f, dtype=jnp.float64):
+    """Dummy (fully masked) point/line blocks for IMU-only sparse problems."""
+    return dict(
+        points=jnp.zeros((1, 3), dtype),
+        pobs_pidx=jnp.zeros(1, jnp.int32), pobs_fidx=jnp.zeros(1, jnp.int32),
+        pobs=jnp.concatenate([jnp.zeros((1, 2), dtype), -jnp.ones((1, 1), dtype)], -1),
+        pobs_mask=jnp.zeros(1, bool),
+        point_obs_table=jnp.full((1, 1), 1, jnp.int32),
+        lines=jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]], dtype),
+        lobs_lidx=jnp.zeros(1, jnp.int32), lobs_fidx=jnp.zeros(1, jnp.int32),
+        lobs=jnp.zeros((1, 8), dtype), lobs_stereo=jnp.zeros(1, bool),
+        lobs_mask=jnp.zeros(1, bool), lobs_sigma=jnp.full((1,), 0.001, dtype),
+        line_obs_table=jnp.full((1, 1), 1, jnp.int32),
+    )
+
+
+def test_sparse_imu_refines_velocities_matches_dense():
+    """The sparse solver's 15-dof VI system (gravity pinned) agrees with the
+    dense window solver: noisy velocities are pulled to truth by the
+    preintegration chain with poses fixed by vision."""
+    from tests.synthetic import default_intrinsics, make_imu_sequence
+    from tests.test_vio import G, _keyframe_preints
+
+    seq = make_imu_sequence(duration=3.0)
+    kf_idx, preints = _keyframe_preints(seq, 150)
+    f = len(kf_idx)
+    rng = np.random.RandomState(0)
+    imu = _imu_factors_from_preints(preints)
+    vel_noisy = seq["vel"][kf_idx] + rng.randn(f, 3) * 0.3
+    gn.set_gravity(G)
+    cfg = gn.BAConfig(imu_info_scale=1.0)
+    intr = default_intrinsics()
+
+    frames = gn.FrameStates(
+        Rwb=jnp.asarray(seq["Rwb"][kf_idx]), twb=jnp.asarray(seq["pos"][kf_idx]),
+        vel=jnp.asarray(vel_noisy), bg=jnp.zeros((f, 3)), ba=jnp.zeros((f, 3)),
+    )
+    P = 4
+    dense = gn.BAProblem(
+        frames=frames,
+        pose_fixed=jnp.ones(f, bool), vel_fixed=jnp.zeros(f, bool),
+        points=jnp.zeros((P, 3)), point_fixed=jnp.ones(P, bool),
+        point_obs=jnp.concatenate([jnp.zeros((P, f, 2)), -jnp.ones((P, f, 1))], -1),
+        point_obs_mask=jnp.zeros((P, f), bool),
+        lines=jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]]), line_fixed=jnp.ones(1, bool),
+        line_obs=jnp.zeros((1, f, 8)), line_obs_stereo=jnp.zeros((1, f), bool),
+        line_obs_mask=jnp.zeros((1, f), bool), line_obs_sigma=jnp.full((1, f), 1.0),
+        Rwg=jnp.eye(3), gravity_free=jnp.asarray(0.0), imu=imu,
+        Rcb=jnp.eye(3), tcb=jnp.zeros(3),
+    )
+    dense_out = gn.optimize(dense, intr, cfg, 15, robust=False)
+
+    sp = gba.SparseBAProblem(
+        Rwb=frames.Rwb, twb=frames.twb,
+        pose_fixed=jnp.ones(f, bool),
+        Rcb=jnp.eye(3), tcb=jnp.zeros(3),
+        vel=frames.vel, bg=frames.bg, ba=frames.ba,
+        vel_fixed=jnp.zeros(f, bool), Rwg=jnp.eye(3), imu=imu,
+        **_empty_visual(f),
+    )
+    out = gba.optimize(sp, intr, cfg, 15, robust=False, chunk=32)
+    err1 = np.abs(np.asarray(out.vel) - seq["vel"][kf_idx]).max()
+    assert err1 < 0.05
+    np.testing.assert_allclose(np.asarray(out.vel),
+                               np.asarray(dense_out.frames.vel), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.bg),
+                               np.asarray(dense_out.frames.bg), atol=1e-5)
+
+
+def test_sparse_vi_vision_plus_imu():
+    """Combined problem at map scale: visual points constrain perturbed
+    poses while the IMU chain recovers velocities — one sparse system."""
+    from tests.synthetic import default_intrinsics, make_imu_sequence
+    from tests.test_vio import G, _keyframe_preints
+    from scipy.spatial.transform import Rotation
+
+    seq = make_imu_sequence(duration=3.0)
+    kf_idx, preints = _keyframe_preints(seq, 100)
+    f = len(kf_idx)
+    rng = np.random.RandomState(3)
+    imu = _imu_factors_from_preints(preints)
+    Rwb_t = seq["Rwb"][kf_idx]
+    twb_t = seq["pos"][kf_idx]
+    intr = default_intrinsics()
+    fx, fy = float(intr.fx), float(intr.fy)
+    cx, cy = float(intr.cx), float(intr.cy)
+    bf = float(intr.bf)
+
+    # world points in front of the middle keyframe (+z body)
+    P = 120
+    mid = f // 2
+    pb = np.stack([rng.uniform(-4, 4, P), rng.uniform(-3, 3, P),
+                   rng.uniform(4, 11, P)], -1)
+    pts = pb @ Rwb_t[mid].T + twb_t[mid]
+
+    pidx, fidx, rows = [], [], []
+    for k in range(f):
+        rel = (pts - twb_t[k]) @ Rwb_t[k]  # R^T (p − t)
+        z = rel[:, 2]
+        u = fx * rel[:, 0] / z + cx
+        v = fy * rel[:, 1] / z + cy
+        ok = (z > 0.5) & (u > 0) & (u < 752) & (v > 0) & (v < 480)
+        for j in np.nonzero(ok)[0]:
+            pidx.append(j)
+            fidx.append(k)
+            rows.append([u[j], v[j], u[j] - bf / z[j]])
+    n = len(rows)
+    assert n > 3 * P
+    pidx = np.asarray(pidx, np.int32)
+    fidx = np.asarray(fidx, np.int32)
+    table = gba.build_obs_table(P, pidx, np.ones(n, bool), n, 16)
+
+    # perturb everything the solver should recover
+    Rwb0 = Rwb_t.copy()
+    twb0 = twb_t + rng.randn(f, 3) * 0.05
+    for i in range(1, f):
+        Rwb0[i] = Rwb0[i] @ Rotation.from_rotvec(rng.randn(3) * 0.01).as_matrix()
+    twb0[0] = twb_t[0]
+    vel0 = seq["vel"][kf_idx] + rng.randn(f, 3) * 0.3
+    vel0[0] = seq["vel"][kf_idx[0]]  # fixed frame keeps its (known) velocity
+    pts0 = pts + rng.randn(P, 3) * 0.05
+    pose_fixed = np.zeros(f, bool)
+    pose_fixed[0] = True
+
+    gn.set_gravity(G)
+    dummy = _empty_visual(f)
+    sp = gba.SparseBAProblem(
+        Rwb=jnp.asarray(Rwb0), twb=jnp.asarray(twb0),
+        pose_fixed=jnp.asarray(pose_fixed),
+        points=jnp.asarray(pts0),
+        pobs_pidx=jnp.asarray(pidx), pobs_fidx=jnp.asarray(fidx),
+        pobs=jnp.asarray(np.asarray(rows)), pobs_mask=jnp.ones(n, bool),
+        point_obs_table=jnp.asarray(table),
+        lines=dummy["lines"], lobs_lidx=dummy["lobs_lidx"],
+        lobs_fidx=dummy["lobs_fidx"], lobs=dummy["lobs"],
+        lobs_stereo=dummy["lobs_stereo"], lobs_mask=dummy["lobs_mask"],
+        lobs_sigma=dummy["lobs_sigma"], line_obs_table=dummy["line_obs_table"],
+        Rcb=jnp.eye(3), tcb=jnp.zeros(3),
+        vel=jnp.asarray(vel0), bg=jnp.zeros((f, 3)), ba=jnp.zeros((f, 3)),
+        vel_fixed=jnp.asarray(pose_fixed), Rwg=jnp.eye(3), imu=imu,
+    )
+    cfg = gn.BAConfig()  # reference imu_info_scale 1e-2 (g2o_optimization.cc:321)
+    out, p_in, _ = gba.global_ba(sp, intr, cfg, iters1=8, iters2=10, chunk=64)
+    pose_err0 = np.abs(twb0 - twb_t).mean()
+    pose_err1 = np.abs(np.asarray(out.twb) - twb_t).mean()
+    vel_err1 = np.abs(np.asarray(out.vel) - seq["vel"][kf_idx]).max()
+    assert pose_err1 < pose_err0 * 0.05, (pose_err0, pose_err1)
+    assert vel_err1 < 0.05, vel_err1
+    assert np.asarray(p_in).mean() > 0.95
+
+
 @pytest.mark.slow
 def test_map_scale_1000kf_100kpts():
     """The VERDICT regression: 1,000 keyframes / 100k points in bounded
