@@ -27,7 +27,17 @@ class Dataset:
         self.use_imu = use_imu
         left_dir = os.path.join(dataroot, "cam0", "data")
         right_dir = os.path.join(dataroot, "cam1", "data")
-        names = sorted(os.listdir(left_dir))
+
+        # sort by numeric timestamp, not lexicographically — EuRoC stamps are
+        # fixed-width so string order coincides, but variable-width stamps
+        # (e.g. synthetic sequences) must not shuffle the frame order
+        def stamp(name):
+            try:
+                return float(os.path.splitext(name)[0])
+            except ValueError:
+                return float("inf")
+
+        names = sorted(os.listdir(left_dir), key=stamp)
         self.left_paths: List[str] = []
         self.right_paths: List[str] = []
         self.timestamps: List[float] = []

@@ -1,0 +1,102 @@
+"""End-to-end CLI integration over an on-disk ASL/EuRoC-format dataset.
+
+The reference's user workflow (SURVEY §3): generate a sequence directory
+(apps/make_synth_dataset.py — EuRoC itself is not in the image), then run the
+actual CLI apps as subprocesses:
+
+  visual_odometry.py  →  trajectory_v0.txt + AirSLAM_mapv0.bin
+  map_refinement.py   →  trajectory_v1.txt + AirSLAM_mapv1.bin
+
+with ATE computed against the emitted ground truth (the evo_ape-style
+harness, reference scripts/evaluation.py:96-99). Exercises the real CNN
+checkpoints, YAML configs, dataset walking, serialization and the refinement
+pipeline through their public entry points."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CKPT = os.path.join(REPO, "airslam_tpu", "checkpoints", "plnet_s0.npz")
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.exists(CKPT), reason="trained checkpoints absent"),
+]
+
+N_FRAMES = 40
+
+
+def _run(cmd):
+    r = subprocess.run([sys.executable] + cmd, cwd=REPO, capture_output=True,
+                       text=True, timeout=1800)
+    assert r.returncode == 0, f"{' '.join(cmd)}\n--- stdout\n{r.stdout[-3000:]}\n--- stderr\n{r.stderr[-3000:]}"
+    return r.stdout
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synthds")
+    _run(["apps/make_synth_dataset.py", "--out", str(root),
+          "--frames", str(N_FRAMES)])
+    return os.path.join(str(root), "SYNTH_01", "mav0")
+
+
+def _ate(traj_path, dataroot):
+    """Sim(3)-aligned ATE RMSE, the reference's evo_ape -as semantics
+    (estimates live in the canonical init-pose frame)."""
+    from airslam_tpu.io.trajectory import ate_rmse, load_tum
+
+    est = load_tum(traj_path)
+    gt_rows = []
+    with open(os.path.join(dataroot, "state_groundtruth_estimate0", "data.csv")) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            v = line.strip().split(",")
+            T = np.eye(4)
+            T[:3, 3] = [float(x) for x in v[1:4]]
+            gt_rows.append((float(v[0]) * 1e-9, T))
+    gt_times = np.asarray([t for t, _ in gt_rows])
+    pairs_e, pairs_g = [], []
+    for t, T in est:
+        j = int(np.argmin(np.abs(gt_times - t)))
+        if abs(gt_times[j] - t) < 0.02:
+            pairs_e.append((t, T))
+            pairs_g.append(gt_rows[j])
+    assert len(pairs_e) >= 10
+    return float(ate_rmse(pairs_e, pairs_g, align=True))
+
+
+@pytest.fixture(scope="module")
+def vo_out(dataset, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("synthout"))
+    _run(["apps/visual_odometry.py",
+          "--config_path", "configs/visual_odometry/vo_euroc.yaml",
+          "--camera_config_path", "configs/camera/synth_stereo.yaml",
+          "--dataroot", dataset, "--saving_dir", out, "--device", "cpu"])
+    return out
+
+
+def test_vo_cli_trajectory_accuracy(dataset, vo_out):
+    traj = os.path.join(vo_out, "trajectory_v0.txt")
+    assert os.path.exists(traj)
+    assert os.path.exists(os.path.join(vo_out, "AirSLAM_mapv0.bin"))
+    ate = _ate(traj, dataset)
+    # ~4.7 m trajectory rendered at 480×752; the in-memory benchmark achieves
+    # sub-cm — allow for png quantization and the short window
+    assert ate < 0.10, f"ATE {ate:.3f} m"
+
+
+def test_refinement_cli_over_saved_map(dataset, vo_out):
+    _run(["apps/map_refinement.py",
+          "--config_path", "configs/map_refinement/mr_euroc.yaml",
+          "--map_root", vo_out, "--device", "cpu"])
+    traj1 = os.path.join(vo_out, "trajectory_v1.txt")
+    assert os.path.exists(traj1)
+    assert os.path.exists(os.path.join(vo_out, "AirSLAM_mapv1.bin"))
+    ate = _ate(traj1, dataset)
+    assert ate < 0.10, f"refined ATE {ate:.3f} m"
