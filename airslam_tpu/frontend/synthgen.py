@@ -237,15 +237,22 @@ def render_scene(key, size: int = SIZE) -> Scene:
     return render_from_shapes(k2, sample_shapes(k1, size), size)
 
 
-def render_pair(key, size: int = SIZE):
-    """Two photometrically-independent renders of the same scene related by
-    a known affine — corner i in view 0 corresponds to corner i in view 1
-    (exact descriptor supervision)."""
+def render_pair_with_affine(key, size: int = SIZE):
+    """:func:`render_pair` plus the ground-truth (A, t) map from view-0 to
+    view-1 pixels (for detector-in-the-loop correspondence supervision)."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
     shapes = sample_shapes(k1, size)
     A, t = random_affine(k2, size)
     s0 = render_from_shapes(k3, shapes, size)
     s1 = render_from_shapes(k4, warp_shapes(shapes, A, t), size)
+    return s0, s1, A, t
+
+
+def render_pair(key, size: int = SIZE):
+    """Two photometrically-independent renders of the same scene related by
+    a known affine — corner i in view 0 corresponds to corner i in view 1
+    (exact descriptor supervision)."""
+    s0, s1, _, _ = render_pair_with_affine(key, size)
     return s0, s1
 
 

@@ -219,3 +219,111 @@ def make_rendered_train_step_sg(model, tx, plnet_apply, plnet_params):
         return TrainState(params, opt_state, state.step + 1), loss
 
     return train_step
+
+
+# ---------------------------------------------------------------------------
+# Detector-in-the-loop training: instead of GT-corner tokens, the matcher
+# sees the FROZEN detector's actual top-k keypoints (duplicates, misses,
+# localization noise — the inference distribution). Ground-truth
+# correspondence comes from the known affine: mutual nearest neighbors of the
+# warped view-0 detections within match_px.
+# ---------------------------------------------------------------------------
+
+
+def make_detected_batch(plnet_apply, plnet_params, key, k_tokens: int = 256,
+                        image_size: int = 512, match_px: float = 3.0,
+                        norm_scale: float = 0.5, with_scores: bool = False):
+    """Returns (k0n, [s0,] d0, m0, k1n, [s1,] d1, m1, tgt, neg0, neg1):
+    tgt[i] is the matching view-1 token index or −1; neg0/neg1 flag tokens
+    that are DEFINITELY unmatched (no cross-view detection within
+    2·match_px). Tokens in the gray zone — typically duplicate detections of
+    a matched corner, whose descriptors are indistinguishable from their
+    matched twin — are excluded from the unmatchability supervision."""
+    from airslam_tpu.frontend import synthgen
+    from airslam_tpu.models.lightglue import normalize_keypoints
+    from airslam_tpu.ops.detect import topk_keypoints
+    from airslam_tpu.ops.gridsample import sample_descriptors
+
+    s0, s1, A, t = synthgen.render_pair_with_affine(key)
+    imgs = jnp.stack([s0.image, s1.image])[..., None]
+    out = plnet_apply(plnet_params, imgs)
+    kp0 = topk_keypoints(out["scores"][0], 0.004, 4, k_tokens)
+    kp1 = topk_keypoints(out["scores"][1], 0.004, 4, k_tokens)
+    d0 = sample_descriptors(out["descriptors"][0].transpose(2, 0, 1), kp0.xy, 8)
+    d1 = sample_descriptors(out["descriptors"][1].transpose(2, 0, 1), kp1.xy, 8)
+
+    p0w = kp0.xy @ A.T + t
+    d2 = jnp.sum((p0w[:, None, :] - kp1.xy[None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(kp0.mask[:, None] & kp1.mask[None, :], d2, 1e12)
+    j_of_i = jnp.argmin(d2, axis=1)
+    i_of_j = jnp.argmin(d2, axis=0)
+    best0 = jnp.min(d2, axis=1)
+    best1 = jnp.min(d2, axis=0)
+    mutual = i_of_j[j_of_i] == jnp.arange(k_tokens)
+    matched = mutual & (best0 < match_px ** 2) & kp0.mask
+    tgt = jnp.where(matched, j_of_i, -1).astype(jnp.int32)
+    far2 = (2.0 * match_px) ** 2
+    neg0 = kp0.mask & (best0 > far2)
+    neg1 = kp1.mask & (best1 > far2)
+
+    k0n = normalize_keypoints(kp0.xy, image_size, image_size, norm_scale)
+    k1n = normalize_keypoints(kp1.xy, image_size, image_size, norm_scale)
+    if with_scores:
+        return (k0n, kp0.score, d0, kp0.mask, k1n, kp1.score, d1, kp1.mask,
+                tgt, neg0, neg1)
+    return k0n, d0, kp0.mask, k1n, d1, kp1.mask, tgt, neg0, neg1
+
+
+def detected_match_loss(model: LightGlue, params, batch):
+    def one(k0, d0, m0, k1, d1, m1, tgt, neg0, neg1):
+        scores, z0, z1 = model.apply(params, k0, d0, m0, k1, d1, m1)
+        matched = tgt >= 0
+        sc = jnp.take_along_axis(scores, jnp.maximum(tgt, 0)[:, None], axis=1)[:, 0]
+        l_match = -jnp.sum(jnp.where(matched, sc, 0.0)) / jnp.maximum(
+            jnp.sum(matched), 1.0)
+        l0 = -jnp.sum(jnp.where(neg0, jax.nn.log_sigmoid(-z0), 0.0)) / jnp.maximum(
+            jnp.sum(neg0), 1.0)
+        l1 = -jnp.sum(jnp.where(neg1, jax.nn.log_sigmoid(-z1), 0.0)) / jnp.maximum(
+            jnp.sum(neg1), 1.0)
+        return l_match + 0.5 * (l0 + l1)
+
+    return jnp.mean(jax.vmap(one)(*batch))
+
+
+def detected_match_loss_sg(model, params, batch):
+    def one(k0, s0, d0, m0, k1, s1, d1, m1, tgt, neg0, neg1):
+        z = model.apply(params, k0, s0, d0, m0, k1, s1, d1, m1)  # (N+1, N+1)
+        matched = tgt >= 0
+        zin = z[:-1, :-1]
+        sc = jnp.take_along_axis(zin, jnp.maximum(tgt, 0)[:, None], axis=1)[:, 0]
+        l_match = -jnp.sum(jnp.where(matched, sc, 0.0)) / jnp.maximum(
+            jnp.sum(matched), 1.0)
+        l0 = -jnp.sum(jnp.where(neg0, z[:-1, -1], 0.0)) / jnp.maximum(
+            jnp.sum(neg0), 1.0)
+        l1 = -jnp.sum(jnp.where(neg1, z[-1, :-1], 0.0)) / jnp.maximum(
+            jnp.sum(neg1), 1.0)
+        return l_match + 0.5 * (l0 + l1)
+
+    return jnp.mean(jax.vmap(one)(*batch))
+
+
+def make_detected_train_step(model, tx, plnet_apply, plnet_params,
+                             superglue: bool = False, k_tokens: int = 256):
+    loss = detected_match_loss_sg if superglue else detected_match_loss
+    scale = 0.7 if superglue else 0.5
+
+    def train_step(state: TrainState, keys):
+        def loss_fn(p):
+            batch = jax.vmap(
+                lambda k: make_detected_batch(
+                    plnet_apply, plnet_params, k, k_tokens=k_tokens,
+                    norm_scale=scale, with_scores=superglue)
+            )(keys)
+            return loss(model, p, batch)
+
+        l, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), l
+
+    return train_step

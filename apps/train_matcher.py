@@ -23,6 +23,9 @@ import optax
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", choices=["lightglue", "superglue"], default="lightglue")
+    ap.add_argument("--tokens", choices=["corners", "detected"], default="corners",
+                    help="corners: GT-corner tokens; detected: the frozen "
+                         "detector's top-k keypoints (inference distribution)")
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=2e-4)
@@ -67,7 +70,12 @@ def main():
     if args.resume and os.path.exists(ckpt):
         params = wio.load_params(ckpt)
         state = training.TrainState(params, tx.init(params), state.step)
-    step_fn = jax.jit(make_step(model, tx, plnet.apply, plnet_params))
+    if args.tokens == "detected":
+        step_fn = jax.jit(training.make_detected_train_step(
+            model, tx, plnet.apply, plnet_params,
+            superglue=args.arch == "superglue"))
+    else:
+        step_fn = jax.jit(make_step(model, tx, plnet.apply, plnet_params))
 
     key = jax.random.PRNGKey(args.seed + 7)
     t0 = time.time()
