@@ -85,7 +85,12 @@ class MapBuilder:
         self.track_id_counter = 0
         self.line_track_id_counter = 0
         self.preintegration: Optional[Preintegration] = None
-        self.trajectory: List[tuple] = []  # (timestamp, Twc) every frame
+        # per-frame trajectory as (timestamp, ref_keyframe, T_ref_frame):
+        # composing against the reference keyframe's CURRENT pose keeps every
+        # entry consistent after map-wide corrections (VI gravity alignment,
+        # pose graph, global BA) — the reference sidesteps this by saving only
+        # keyframes (map_builder.cc:550-557); we keep the full-rate trajectory
+        self._trajectory: List[tuple] = []
 
         self._maps = camera.rectify_maps() if hasattr(camera, "rectify_maps") else (None, None)
 
@@ -153,7 +158,10 @@ class MapBuilder:
         matches = self._match_frames(self.last_keyframe, frame)
         num_inliers = self._track_frame(self.last_keyframe, frame, matches)
 
-        self.trajectory.append((timestamp, frame.Twc.copy()))
+        self._trajectory.append((
+            timestamp, self.last_keyframe,
+            np.linalg.inv(self.last_keyframe.Twc) @ frame.Twc,
+        ))
 
         if num_inliers <= self.kf_config.lost_num_match:
             self.last_tracked_frame = frame
@@ -254,7 +262,7 @@ class MapBuilder:
         self.last_keyframe = frame
         self.last_tracked_frame = frame
         self.init = True
-        self.trajectory.append((frame.timestamp, frame.Twc.copy()))
+        self._trajectory.append((frame.timestamp, frame, np.eye(4)))
 
     def _assign_new_track_ids(self, frame: Frame):
         for i in np.nonzero(frame.kp_mask)[0]:
@@ -551,6 +559,10 @@ class MapBuilder:
         return 2
 
     def _insert_keyframe(self, frame: Frame):
+        # this frame's own pose will keep being refined — make its trajectory
+        # entry self-referential so it tracks the keyframe, not the old ref
+        if self._trajectory and self._trajectory[-1][0] == frame.timestamp:
+            self._trajectory[-1] = (frame.timestamp, frame, np.eye(4))
         self._assign_new_track_ids(frame)
         frame.previous_frame = self.last_keyframe
         if self.camera_uses_imu() and self.preintegration is not None:
@@ -562,6 +574,12 @@ class MapBuilder:
         self.last_keyframe = frame
 
     # ------------------------------------------------------------------
+
+    @property
+    def trajectory(self):
+        """Full-rate (timestamp, Twc) list, composed against the reference
+        keyframes' current (post-correction) poses."""
+        return [(ts, ref.Twc @ rel) for ts, ref, rel in self._trajectory]
 
     def save_trajectory(self, path: str):
         from airslam_tpu.io.trajectory import save_tum

@@ -26,9 +26,11 @@ import numpy as np
 
 
 def make_sequence(n_frames: int, height: int, width: int, seed: int = 0,
-                  baseline: float = 0.11):
+                  baseline: float = 0.11, stride: int = 1):
     """Render a stereo sequence along a smooth forward + weave trajectory.
-    Returns (timestamps, lefts (T,H,W), rights, gt_Twc list)."""
+    Returns (timestamps, lefts (T,H,W), rights, gt_Twc list). ``stride``
+    subsamples the 20 Hz trajectory (stride 2 = 10 Hz frames) — same analytic
+    path, longer wall-clock span per rendered frame."""
     import jax
     import jax.numpy as jnp
 
@@ -39,9 +41,10 @@ def make_sequence(n_frames: int, height: int, width: int, seed: int = 0,
     fx, fy, cx, cy = (float(intr.fx), float(intr.fy), float(intr.cx), float(intr.cy))
 
     world = synthgen.make_world3d(jax.random.PRNGKey(seed))
-    ts = np.arange(n_frames) * 0.05
+    ts = np.arange(n_frames) * 0.05 * stride
     gt = []
-    for i in range(n_frames):
+    for k in range(n_frames):
+        i = k * stride
         T = np.eye(4)
         T[:3, 3] = [0.3 * np.sin(i * 0.08), 0.08 * np.sin(i * 0.13), 0.12 * i]
         gt.append(T)

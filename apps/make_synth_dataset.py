@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--out", required=True, help="dataset root directory")
     ap.add_argument("--seq", default="SYNTH_01")
     ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--stride", type=int, default=1,
+                    help="trajectory subsampling: 2 = 10 Hz frames over twice "
+                         "the span (VI init needs >= 3 s of keyframes)")
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=752)
     ap.add_argument("--seed", type=int, default=0)
@@ -65,7 +68,8 @@ def main():
     from apps.benchmark_system import make_sequence
 
     ts, L, R, gt = make_sequence(args.frames, args.height, args.width,
-                                 seed=args.seed, baseline=0.1)
+                                 seed=args.seed, baseline=0.1,
+                                 stride=args.stride)
 
     mav0 = os.path.join(args.out, args.seq, "mav0")
     for sub in ("cam0/data", "cam1/data", "imu0", "state_groundtruth_estimate0"):

@@ -27,7 +27,7 @@ pytestmark = [
     pytest.mark.skipif(not os.path.exists(CKPT), reason="trained checkpoints absent"),
 ]
 
-N_FRAMES = 40
+N_FRAMES = 36  # stride-2 trajectory → 3.5 s span (VI init needs ≥ 3 s)
 
 
 def _run(cmd):
@@ -41,7 +41,7 @@ def _run(cmd):
 def dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("synthds")
     _run(["apps/make_synth_dataset.py", "--out", str(root),
-          "--frames", str(N_FRAMES)])
+          "--frames", str(N_FRAMES), "--stride", "2"])
     return os.path.join(str(root), "SYNTH_01", "mav0")
 
 
@@ -100,3 +100,21 @@ def test_refinement_cli_over_saved_map(dataset, vo_out):
     assert os.path.exists(os.path.join(vo_out, "AirSLAM_mapv1.bin"))
     ate = _ate(traj1, dataset)
     assert ate < 0.10, f"refined ATE {ate:.3f} m"
+
+
+def test_vi_vo_cli(dataset, tmp_path_factory):
+    """Visual-INERTIAL CLI over the same sequence (imu0 csv + VI camera
+    YAML): IMU initialization must fire, and the full-rate trajectory must
+    stay consistent through the gravity re-alignment of the map."""
+    out = str(tmp_path_factory.mktemp("synthout_vi"))
+    _run(["apps/visual_odometry.py",
+          "--config_path", "configs/visual_odometry/vo_euroc.yaml",
+          "--camera_config_path", "configs/camera/synth_stereo_imu.yaml",
+          "--dataroot", dataset, "--saving_dir", out, "--device", "cpu"])
+    sys.path.insert(0, REPO)
+    from airslam_tpu.io.serialization import load_map
+
+    m, _ = load_map(os.path.join(out, "AirSLAM_mapv0.bin"))
+    assert m.imu_initialized, "VI initialization did not fire"
+    ate = _ate(os.path.join(out, "trajectory_v0.txt"), dataset)
+    assert ate < 0.10, f"VI ATE {ate:.3f} m"
