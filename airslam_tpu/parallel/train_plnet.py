@@ -241,6 +241,52 @@ def make_plnet_train_step(plnet, loi, tx, with_desc: bool = True):
     return train_step
 
 
+def make_superpoint_distill_step(sp, tx, plnet_apply, plnet_params):
+    """SuperPoint with its descriptor space DISTILLED onto the (frozen)
+    trained PLNet stage-0: keypoint CE as usual, but descriptors at GT
+    corners regress PLNet's (cosine). The reference pairs use_superpoint: 1
+    maps with use_superpoint: 0 relocalization (vo_euroc.yaml:2 vs
+    reloc_euroc.yaml:5), which only works when the two nets share one
+    descriptor space — this is the training-side counterpart."""
+
+    def loss_fn(params, key):
+        s0, s1 = synthgen.render_pair(key)
+        imgs = jnp.stack([s0.image, s1.image])[..., None]
+        out = sp.apply(params, imgs)
+        ce = optax.softmax_cross_entropy_with_integer_labels(
+            out["kp_logits"][0], scene_targets(s0).kp_label
+        ).mean()
+        pl = jax.lax.stop_gradient(plnet_apply(plnet_params, imgs)["descriptors"])
+
+        def corner_descs(dmap, corners):
+            return sample_descriptors(dmap.transpose(2, 0, 1), corners, stride=8)
+
+        dist = 0.0
+        for v, s in ((0, s0), (1, s1)):
+            dsp = corner_descs(out["descriptors"][v].astype(jnp.float32), s.corners)
+            dpl = corner_descs(pl[v].astype(jnp.float32), s.corners)
+            cos = jnp.sum(dsp * dpl, axis=-1)
+            m = s.corner_mask
+            dist = dist + jnp.sum(jnp.where(m, 1.0 - cos, 0.0)) / jnp.maximum(
+                jnp.sum(m), 1.0)
+        dist = dist * 0.5
+        return ce + 4.0 * dist, {"kp": ce, "distill": dist}
+
+    def batched_loss(params, keys):
+        total, terms = jax.vmap(lambda k: loss_fn(params, k))(keys)
+        return jnp.mean(total), jax.tree_util.tree_map(jnp.mean, terms)
+
+    def train_step(params, opt_state, keys):
+        (loss, terms), grads = jax.value_and_grad(batched_loss, has_aux=True)(
+            params, keys
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, terms
+
+    return train_step
+
+
 def make_superpoint_train_step(sp, tx):
     """SuperPoint: keypoint CE + descriptor InfoNCE on affine pairs."""
 

@@ -71,7 +71,13 @@ def main():
 
     save_tum(os.path.join(args.map_root, "trajectory_v1.txt"), m.keyframe_trajectory())
     refiner.save(os.path.join(args.map_root, "AirSLAM_mapv1.bin"))
-    print("saved trajectory_v1.txt and AirSLAM_mapv1.bin")
+    # vocabularies ride next to the map so apps/relocalization.py can rebuild
+    # the databases (demo/relocalization.cpp loads them from the map archive)
+    voc.save(args.voc_path or os.path.join(args.map_root, "point_voc.npz"))
+    if refiner.junction_database is not None:
+        refiner.junction_database.voc.save(
+            os.path.join(args.map_root, "junction_voc.npz"))
+    print("saved trajectory_v1.txt, AirSLAM_mapv1.bin and vocabularies")
 
 
 if __name__ == "__main__":

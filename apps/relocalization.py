@@ -20,6 +20,8 @@ def main():
     ap.add_argument("--query_folder", required=True)
     ap.add_argument("--traj_path", default="reloc_trajectory.txt")
     ap.add_argument("--model_dir", default=None)
+    ap.add_argument("--query_stride", type=int, default=1,
+                    help="relocalize every Nth query image")
     from airslam_tpu.utils import device as device_util
 
     device_util.add_arg(ap)
@@ -81,7 +83,13 @@ def main():
                    min_inlier_num=cfg.min_inlier_num,
                    pose_refinement=cfg.pose_refinement)
 
-    names = sorted(os.listdir(args.query_folder))
+    def stamp(name):
+        try:
+            return float(os.path.splitext(name)[0])
+        except ValueError:
+            return float("inf")
+
+    names = sorted(os.listdir(args.query_folder), key=stamp)[::args.query_stride]
     success, trajectory = 0, []
     for name in names:
         img = cv2.imread(os.path.join(args.query_folder, name), cv2.IMREAD_GRAYSCALE)

@@ -27,6 +27,10 @@ import optax
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=["plnet", "superpoint"], default="plnet")
+    ap.add_argument("--distill", action="store_true",
+                    help="superpoint only: distill descriptors onto the "
+                         "trained PLNet stage-0 space (shared space across "
+                         "use_superpoint: 0/1 configs)")
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -74,7 +78,15 @@ def main():
             params = wio.load_params(ckpt)
         else:
             params = sp.init(jax.random.PRNGKey(args.seed), dummy)
-        step_fn = jax.jit(tp.make_superpoint_train_step(sp, tx))
+        if args.distill:
+            s0 = wio.checkpoint_path("plnet_s0.npz")
+            if not os.path.exists(s0):
+                sys.exit("distillation needs the trained plnet_s0.npz")
+            plnet = PLNet()
+            step_fn = jax.jit(tp.make_superpoint_distill_step(
+                sp, tx, plnet.apply, wio.load_params(s0)["plnet"]))
+        else:
+            step_fn = jax.jit(tp.make_superpoint_train_step(sp, tx))
 
     opt_state = tx.init(params)
 
