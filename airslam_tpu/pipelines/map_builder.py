@@ -123,7 +123,11 @@ class MapBuilder:
         with sect("rectify"):
             left, right = self.rectify(image_left, image_right)
         with sect("detect"):
-            feats = self.detector.detect(np.stack([left, right]))
+            # junctions ride along (same fused program): keyframes need them
+            # for the refiner's junction vocabulary and the reloc
+            # structure-graph re-rank (map_refiner.cc:956-999)
+            feats = self.detector.detect(np.stack([left, right]),
+                                         detect_junctions=True)
             import jax.tree_util as jtu
 
             f0 = jtu.tree_map(lambda t: np.asarray(t[0]), feats)
@@ -623,7 +627,8 @@ class PipelinedRunner:
         for i in range(n):
             ts, left_raw, right_raw, imu = dataset.get(i)
             left, right = b.rectify(left_raw, right_raw)
-            feats_dev = b.detector.detect(np.stack([left, right]))  # async
+            feats_dev = b.detector.detect(np.stack([left, right]),
+                                          detect_junctions=True)  # async
             if pending is not None:
                 self._consume(pending)
                 if progress is not None:
