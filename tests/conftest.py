@@ -24,6 +24,19 @@ from airslam_tpu.utils import jaxcache  # noqa: E402
 
 jaxcache.enable(os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_code_maps():
+    """Clear jax's executable caches when the process nears the kernel's
+    vm.max_map_count limit (default 65530): every XLA:CPU executable holds
+    JIT code mappings, and a full-suite process otherwise segfaults inside
+    whichever compile/serialize/deserialize next calls mmap. See
+    airslam_tpu.utils.jaxcache.bound_jit_code_maps."""
+    yield
+    jaxcache.bound_jit_code_maps()
+
 
 def pytest_sessionstart(session):
     assert jax.default_backend() == "cpu"
