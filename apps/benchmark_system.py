@@ -25,9 +25,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def traj_position(t, traj: str = "forward", total: float = None):
+    """Analytic trajectory position at time t (seconds). ``forward``: smooth
+    forward + weave; ``loop``: out-and-back along z (returns to the start —
+    exercises loop closure). Twin of :func:`apps.make_synth_dataset.traj_accel`."""
+    x = 0.3 * np.sin(1.6 * t)
+    y = 0.08 * np.sin(2.6 * t)
+    if traj == "forward":
+        z = 2.4 * t
+    else:
+        z = 2.0 * (1.0 - np.cos(2.0 * np.pi * t / total))
+    return np.stack(np.broadcast_arrays(x, y, z), axis=-1)
+
+
 def make_sequence(n_frames: int, height: int, width: int, seed: int = 0,
-                  baseline: float = 0.11, stride: int = 1):
-    """Render a stereo sequence along a smooth forward + weave trajectory.
+                  baseline: float = 0.11, stride: int = 1,
+                  traj: str = "forward"):
+    """Render a stereo sequence along an analytic trajectory.
     Returns (timestamps, lefts (T,H,W), rights, gt_Twc list). ``stride``
     subsamples the 20 Hz trajectory (stride 2 = 10 Hz frames) — same analytic
     path, longer wall-clock span per rendered frame."""
@@ -42,11 +56,11 @@ def make_sequence(n_frames: int, height: int, width: int, seed: int = 0,
 
     world = synthgen.make_world3d(jax.random.PRNGKey(seed))
     ts = np.arange(n_frames) * 0.05 * stride
+    total = float(n_frames * 0.05 * stride)
     gt = []
     for k in range(n_frames):
-        i = k * stride
         T = np.eye(4)
-        T[:3, 3] = [0.3 * np.sin(i * 0.08), 0.08 * np.sin(i * 0.13), 0.12 * i]
+        T[:3, 3] = traj_position(ts[k], traj, total)
         gt.append(T)
 
     @jax.jit

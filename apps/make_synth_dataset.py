@@ -35,13 +35,19 @@ FRAME_DT = 0.05  # 20 Hz frames
 G_VALUE = 9.81
 
 
-def traj_accel(t: np.ndarray) -> np.ndarray:
-    """Analytic world acceleration of the benchmark trajectory
-    p(t) = (0.3 sin(1.6 t), 0.08 sin(2.6 t), 2.4 t)."""
+def traj_accel(t: np.ndarray, traj: str = "forward",
+               total: float = None) -> np.ndarray:
+    """Analytic world acceleration — exact second derivative of
+    :func:`apps.benchmark_system.traj_position`."""
+    if traj == "forward":
+        az = np.zeros_like(t)
+    else:
+        w = 2.0 * np.pi / total
+        az = 2.0 * w * w * np.cos(w * t)
     return np.stack([
         -0.3 * 1.6 ** 2 * np.sin(1.6 * t),
         -0.08 * 2.6 ** 2 * np.sin(2.6 * t),
-        np.zeros_like(t),
+        az,
     ], axis=-1)
 
 
@@ -53,9 +59,17 @@ def main():
     ap.add_argument("--stride", type=int, default=1,
                     help="trajectory subsampling: 2 = 10 Hz frames over twice "
                          "the span (VI init needs >= 3 s of keyframes)")
+    ap.add_argument("--traj", choices=["forward", "loop"], default="forward",
+                    help="loop: out-and-back along z, ends at the start "
+                         "(exercises loop closure in map_refinement)")
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=752)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--hard_queries", type=int, default=0,
+                    help="also render N novel-view relocalization queries "
+                         "(lateral offset 0.18-0.30 m, yaw 4-9°, pitch ±3° "
+                         "off the mapped trajectory) into mav0/hard0/data "
+                         "with TUM ground truth in mav0/hard0/gt_tum.txt")
     ap.add_argument("--device", default="cpu")
     args = ap.parse_args()
 
@@ -69,7 +83,8 @@ def main():
 
     ts, L, R, gt = make_sequence(args.frames, args.height, args.width,
                                  seed=args.seed, baseline=0.1,
-                                 stride=args.stride)
+                                 stride=args.stride, traj=args.traj)
+    total = float(args.frames * 0.05 * args.stride)
 
     mav0 = os.path.join(args.out, args.seq, "mav0")
     for sub in ("cam0/data", "cam1/data", "imu0", "state_groundtruth_estimate0"):
@@ -88,7 +103,7 @@ def main():
     # measured acc = R^T (a − g_world) = a + (0, 0, g). Covers the frame range
     # with one extra sample on each side (dataset.cc drops frames outside).
     t_imu = np.arange(-1, int(ts[-1] * IMU_RATE) + 2) / IMU_RATE
-    acc = traj_accel(np.maximum(t_imu, 0.0))
+    acc = traj_accel(np.maximum(t_imu, 0.0), args.traj, total)
     acc[:, 2] += G_VALUE
     with open(os.path.join(mav0, "imu0", "data.csv"), "w") as f:
         f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
@@ -103,6 +118,49 @@ def main():
             ns = EPOCH + int(round(ts[i] * 1e9))
             p = gt[i][:3, 3]
             f.write(f"{ns},{p[0]:.9f},{p[1]:.9f},{p[2]:.9f},1.0,0.0,0.0,0.0\n")
+
+    if args.hard_queries > 0:
+        import jax
+        import jax.numpy as jnp
+        from scipy.spatial.transform import Rotation
+
+        from airslam_tpu.frontend import synthgen
+        from tests.synthetic import default_intrinsics
+
+        intr = default_intrinsics(jnp.float32)
+        fx, fy, cx, cy = (float(intr.fx), float(intr.fy),
+                          float(intr.cx), float(intr.cy))
+        world = synthgen.make_world3d(jax.random.PRNGKey(args.seed))
+        qdir = os.path.join(mav0, "hard0")
+        os.makedirs(os.path.join(qdir, "data"), exist_ok=True)
+        rng = np.random.RandomState(args.seed + 7)
+        idxs = np.linspace(2, args.frames - 3, args.hard_queries).astype(int)
+        rows = []
+        for k, i in enumerate(idxs):
+            dx = rng.uniform(0.18, 0.30) * (1.0 if k % 2 == 0 else -1.0)
+            dy = rng.uniform(-0.08, 0.08)
+            dz = rng.uniform(-0.10, 0.10)
+            yaw = np.deg2rad(rng.uniform(4.0, 9.0)) * (1.0 if k % 2 else -1.0)
+            pitch = np.deg2rad(rng.uniform(-3.0, 3.0))
+            Rwc = (Rotation.from_euler("y", yaw) * Rotation.from_euler("x", pitch)).as_matrix()
+            pos = gt[i][:3, 3] + np.array([dx, dy, dz])
+            Rcw = Rwc.T
+            tcw = -Rcw @ pos
+            img = synthgen.render_view3d(
+                world, jnp.asarray(Rcw, jnp.float32), jnp.asarray(tcw, jnp.float32),
+                fx, fy, cx, cy, args.height, args.width,
+                jax.random.PRNGKey(1000 + k),
+            )
+            ns = EPOCH + int(round(ts[i] * 1e9)) + 500_000  # off-grid stamp
+            u8 = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+            cv2.imwrite(os.path.join(qdir, "data", f"{ns}.png"), u8)
+            rows.append((ns, pos, Rwc))
+        with open(os.path.join(qdir, "gt_tum.txt"), "w") as f:
+            for ns, pos, Rwc in rows:
+                qx, qy, qz, qw = Rotation.from_matrix(Rwc).as_quat()
+                f.write(f"{ns * 1e-9:.9f} {pos[0]:.6f} {pos[1]:.6f} {pos[2]:.6f} "
+                        f"{qx:.9f} {qy:.9f} {qz:.9f} {qw:.9f}\n")
+        print(f"wrote {args.hard_queries} hard relocalization queries to {qdir}")
 
     print(f"wrote {args.frames}-frame ASL sequence to {mav0}")
 

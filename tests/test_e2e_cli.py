@@ -27,7 +27,8 @@ pytestmark = [
     pytest.mark.skipif(not os.path.exists(CKPT), reason="trained checkpoints absent"),
 ]
 
-N_FRAMES = 36  # stride-2 trajectory → 3.5 s span (VI init needs ≥ 3 s)
+N_FRAMES = 40  # stride-2 loop trajectory → 4 s span (VI init needs ≥ 3 s),
+# out-and-back so map_refinement has a genuine loop to close
 
 
 def _run(cmd):
@@ -41,7 +42,8 @@ def _run(cmd):
 def dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("synthds")
     _run(["apps/make_synth_dataset.py", "--out", str(root),
-          "--frames", str(N_FRAMES), "--stride", "2"])
+          "--frames", str(N_FRAMES), "--stride", "2", "--traj", "loop",
+          "--hard_queries", "10"])
     return os.path.join(str(root), "SYNTH_01", "mav0")
 
 
@@ -92,14 +94,18 @@ def test_vo_cli_trajectory_accuracy(dataset, vo_out):
 
 
 def test_refinement_cli_over_saved_map(dataset, vo_out):
-    _run(["apps/map_refinement.py",
-          "--config_path", "configs/map_refinement/mr_euroc.yaml",
-          "--map_root", vo_out, "--device", "cpu"])
+    out = _run(["apps/map_refinement.py",
+                "--config_path", "configs/map_refinement/mr_euroc.yaml",
+                "--map_root", vo_out, "--device", "cpu"])
     traj1 = os.path.join(vo_out, "trajectory_v1.txt")
     assert os.path.exists(traj1)
     assert os.path.exists(os.path.join(vo_out, "AirSLAM_mapv1.bin"))
+    # the out-and-back trajectory revisits its start — the BoW loop gates
+    # (shared words, deputies, 3% distance) must fire on real CNN features
+    loops = [l for l in out.splitlines() if l.startswith("loop pairs:")][-1]
+    assert int(loops.split(":")[1]) >= 1, loops
     ate = _ate(traj1, dataset)
-    assert ate < 0.10, f"refined ATE {ate:.3f} m"
+    assert ate < 0.05, f"refined ATE {ate:.3f} m"
 
 
 def test_relocalization_cli(dataset, vo_out):
@@ -123,6 +129,43 @@ def test_relocalization_cli(dataset, vo_out):
     assert int(success) / int(total) >= 0.7, line
     ate = _ate(traj, dataset)
     assert ate < 0.10, f"reloc ATE {ate:.3f} m"
+
+
+def test_relocalization_hard_queries(dataset, vo_out):
+    """Novel-view queries rendered OFF the mapped trajectory (0.18-0.30 m
+    lateral, 4-9° yaw, ±3° pitch — make_synth_dataset --hard_queries): the
+    BoW retrieval + junction re-rank + LightGlue + PnP chain must still
+    relocalize, and the poses must match the known novel-view ground truth
+    (mav0/hard0/gt_tum.txt), not just the mapped keyframe poses."""
+    if not os.path.exists(os.path.join(vo_out, "AirSLAM_mapv1.bin")):
+        _run(["apps/map_refinement.py",
+              "--config_path", "configs/map_refinement/mr_euroc.yaml",
+              "--map_root", vo_out, "--device", "cpu"])
+    traj = os.path.join(vo_out, "reloc_hard.txt")
+    out = _run(["apps/relocalization.py",
+                "--config_path", "configs/relocalization/reloc_euroc.yaml",
+                "--map_root", vo_out,
+                "--query_folder", os.path.join(dataset, "hard0", "data"),
+                "--traj_path", traj, "--device", "cpu"])
+    line = [l for l in out.splitlines() if l.startswith("recall:")][-1]
+    success, total = line.split(":")[1].split("=")[0].split("/")
+    assert int(total) == 10
+    assert int(success) / int(total) >= 0.8, line
+
+    from airslam_tpu.io.trajectory import ate_rmse, load_tum
+
+    est = load_tum(traj)
+    gt = load_tum(os.path.join(dataset, "hard0", "gt_tum.txt"))
+    gt_times = np.asarray([t for t, _ in gt])
+    pe, pg = [], []
+    for t, T in est:
+        j = int(np.argmin(np.abs(gt_times - t)))
+        if abs(gt_times[j] - t) < 0.02:
+            pe.append((t, T))
+            pg.append(gt[j])
+    assert len(pe) >= 8
+    ate = float(ate_rmse(pe, pg, align=True))
+    assert ate < 0.05, f"hard-query reloc ATE {ate:.3f} m"
 
 
 def test_vi_vo_cli(dataset, tmp_path_factory):
