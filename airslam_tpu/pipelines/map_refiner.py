@@ -50,6 +50,8 @@ class MapRefiner:
         self.odometry_length = 0.0
         self.loop_pairs: List[LoopFramePair] = []
         self.merged_mappoints: Dict[int, Set[int]] = {}
+        self.n_merged_mappoints = 0
+        self.n_merged_maplines = 0
 
     # ------------------------------------------------------------------
 
@@ -426,6 +428,7 @@ class MapRefiner:
                     if fid not in keeper.observers:
                         keeper.add_observer(fid, kidx)
                 del self.map.mappoints[mid]
+                self.n_merged_mappoints += 1
         self.map.update_covisibility_graph()
 
     def merge_maplines(self):
@@ -527,6 +530,7 @@ class MapRefiner:
                     if fid not in keeper.observers:
                         keeper.add_observer(fid, lidx)
                 del m.maplines[mid]
+                self.n_merged_maplines += 1
             if not keeper.is_valid:
                 m.triangulate_mapline_by_mappoints(keeper)
             if keeper.is_valid:

@@ -68,6 +68,8 @@ def main():
     refiner = MapRefiner(m, matcher, voc)
     n_loops = refiner.run()
     print(f"loop pairs: {n_loops}")
+    print(f"merged mappoints: {refiner.n_merged_mappoints}  "
+          f"maplines: {refiner.n_merged_maplines}")
 
     save_tum(os.path.join(args.map_root, "trajectory_v1.txt"), m.keyframe_trajectory())
     refiner.save(os.path.join(args.map_root, "AirSLAM_mapv1.bin"))

@@ -104,6 +104,10 @@ def test_refinement_cli_over_saved_map(dataset, vo_out):
     # (shared words, deputies, 3% distance) must fire on real CNN features
     loops = [l for l in out.splitlines() if l.startswith("loop pairs:")][-1]
     assert int(loops.split(":")[1]) >= 1, loops
+    # revisiting the start duplicates landmarks — merging must consolidate
+    # some (reference MergeMappoints/MergeMaplines, map_refiner.cc:593-954)
+    merged = [l for l in out.splitlines() if l.startswith("merged mappoints:")][-1]
+    assert int(merged.split(":")[1].split()[0]) >= 1, merged
     ate = _ate(traj1, dataset)
     assert ate < 0.05, f"refined ATE {ate:.3f} m"
 
