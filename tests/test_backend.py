@@ -260,3 +260,66 @@ def test_pose_graph_optimization():
     )
     out = windows.pose_graph_optimization(p, iterations=30)
     assert np.abs(np.asarray(out.twb) - twb).max() < 1e-5
+
+
+def test_pose_only_fast_matches_general():
+    """The F=1 vision pose-only fast path (windows._pose_only_fast) must be
+    numerically identical to the general dense solver — same residuals,
+    Huber weights, LM schedule and relabeling. The general path is forced by
+    padding a second fixed, observation-less frame (the Schur machinery
+    cancels exactly, so both solve the same damped 6x6 system)."""
+    import numpy as np
+    from airslam_tpu.backend import gn, windows
+    from airslam_tpu.core import lie
+
+    rng = np.random.RandomState(3)
+    K = 64
+    intr = default_intrinsics()
+    pts = rng.randn(K, 3) * 2 + [0, 0, 8]
+    xi = np.array([0.02, -0.03, 0.01, 0.05, -0.04, 0.06])
+    Rwb_t = np.asarray(lie.so3_exp(jnp.asarray(xi[:3])))
+    twb_t = xi[3:]
+    Rcw, tcw = Rwb_t.T, -Rwb_t.T @ twb_t
+    pc = (Rcw @ pts.T).T + tcw
+    fx, fy = float(intr.fx), float(intr.fy)
+    cx, cy, bf = float(intr.cx), float(intr.cy), float(intr.bf)
+    u = pc[:, 0] / pc[:, 2] * fx + cx
+    v = pc[:, 1] / pc[:, 2] * fy + cy
+    ur = u - bf / pc[:, 2]
+    obs = np.stack([u, v, np.where(np.arange(K) % 2 == 0, ur, -1.0)], -1)
+    out_idx = rng.choice(K, K // 5, replace=False)
+    obs[out_idx, :2] += rng.randn(len(out_idx), 2) * 40  # 20% outliers
+
+    def build(F):
+        frames = gn.FrameStates(
+            Rwb=jnp.asarray(np.stack([np.eye(3)] * F)), twb=jnp.zeros((F, 3)),
+            vel=jnp.zeros((F, 3)), bg=jnp.zeros((F, 3)), ba=jnp.zeros((F, 3)))
+        obs_f = np.zeros((K, F, 3))
+        obs_f[:, :, 2] = -1.0
+        obs_f[:, 0] = obs
+        mask_f = np.zeros((K, F), bool)
+        mask_f[:, 0] = True
+        return gn.BAProblem(
+            frames=frames,
+            pose_fixed=jnp.asarray([False] + [True] * (F - 1)),
+            vel_fixed=jnp.ones(F, bool),
+            points=jnp.asarray(pts), point_fixed=jnp.ones(K, bool),
+            point_obs=jnp.asarray(obs_f), point_obs_mask=jnp.asarray(mask_f),
+            lines=jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]]),
+            line_fixed=jnp.ones(1, bool),
+            line_obs=jnp.zeros((1, F, 8)), line_obs_stereo=jnp.zeros((1, F), bool),
+            line_obs_mask=jnp.zeros((1, F), bool),
+            line_obs_sigma=jnp.full((1, F), 0.5),
+            Rwg=jnp.eye(3), gravity_free=jnp.asarray(0.0), imu=None,
+            Rcb=jnp.eye(3), tcb=jnp.zeros(3))
+
+    o1, pin1, _, n1 = windows.pose_only_optimization(build(1), intr)
+    o2, pin2, _, n2 = windows.pose_only_optimization(build(2), intr)
+    np.testing.assert_allclose(np.asarray(o1.frames.Rwb[0]),
+                               np.asarray(o2.frames.Rwb[0]), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(o1.frames.twb[0]),
+                               np.asarray(o2.frames.twb[0]), atol=1e-12)
+    assert int(n1) == int(n2)
+    assert (np.asarray(pin1)[:, 0] == np.asarray(pin2)[:, 0]).all()
+    # and both recover the true pose despite the outliers
+    assert np.linalg.norm(np.asarray(o1.frames.twb[0]) - twb_t) < 1e-6
