@@ -195,7 +195,174 @@ def _pose_only_fast(problem, intr, cfg, rounds: int, iters: int):
     return out, p_mask[:, None], l_mask[:, None], num_inliers
 
 
-@functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+def _pose_only_fast_vi(problem, intr, cfg, rounds: int, iters: int):
+    """VI tracking specialization: F=2 with frame 0 the FIXED last keyframe
+    and frame 1 the current frame (pose + velocity + bias free, 15 dof), one
+    IMU factor 0→1, gravity fixed (the reference's FrameOptimization keeps
+    the gravity-direction vertex fixed, g2o_optimization.cc:446-898). One
+    damped 15×15 system per LM iteration; numerics identical to the general
+    dense path."""
+    dtype = problem.points.dtype
+    fr0 = problem.frames
+    imu = problem.imu
+    cur = 1
+    base_p_mask = problem.point_obs_mask[:, cur]
+    base_l_mask = problem.line_obs_mask[:, cur]
+    is_stereo = problem.point_obs[:, cur, 2] >= 0
+    pthr = jnp.where(is_stereo, cfg.stereo_point, cfg.mono_point)
+    lthr = jnp.where(problem.line_obs_stereo[:, cur], cfg.stereo_line, cfg.mono_line)
+    lsigma = problem.line_obs_sigma[:, cur]
+    pose_free = (~problem.pose_fixed[cur]).astype(dtype)
+    vel_free = (~problem.vel_fixed[cur]).astype(dtype)
+    col_free = jnp.concatenate([jnp.full((6,), 1.0, dtype) * pose_free,
+                                jnp.full((9,), 1.0, dtype) * vel_free])
+    Ri, ti, vi = fr0.Rwb[0], fr0.twb[0], fr0.vel[0]
+    bgi, bai = fr0.bg[0], fr0.ba[0]
+    info9 = imu.info[0] * cfg.imu_info_scale
+    info_walk = imu.info_walk[0] * imu.mask[0].astype(dtype)
+    imu_mask = imu.mask[0].astype(dtype)
+
+    def masks_rows(p_mask, l_mask):
+        prow = jnp.stack([p_mask, p_mask, p_mask & is_stereo], -1).astype(dtype)
+        lrow = jnp.stack(
+            [l_mask, l_mask, l_mask & problem.line_obs_stereo[:, cur],
+             l_mask & problem.line_obs_stereo[:, cur]], -1
+        ).astype(dtype)
+        return prow, lrow
+
+    def vis_residuals(R, t, with_jac):
+        p1 = problem._replace(frames=gn.FrameStates(
+            Rwb=R[None], twb=t[None], vel=fr0.vel[1:2], bg=fr0.bg[1:2],
+            ba=fr0.ba[1:2]))
+        # reuse the F=1 residual helper on the current column's observations
+        p1 = p1._replace(point_obs=problem.point_obs[:, cur:cur + 1],
+                         line_obs=problem.line_obs[:, cur:cur + 1])
+        return _pose6_residuals(p1, intr, R, t, with_jac)
+
+    def imu_residual_15(R, t, v, bg, ba, with_jac):
+        def f(d15):
+            Rj2, tj2 = res.retract_pose(R, t, d15[0:6])
+            vj2 = v + d15[6:9]
+            bgj2 = bg + d15[9:12]
+            baj2 = ba + d15[12:15]
+            r9 = res.imu_residual(
+                Ri, ti, vi, Rj2, tj2, vj2, bgj2, baj2,
+                imu.dR[0], imu.dV[0], imu.dP[0],
+                imu.JRg[0], imu.JVg[0], imu.JVa[0], imu.JPg[0], imu.JPa[0],
+                imu.bg_lin[0], imu.ba_lin[0], imu.dT[0], problem.Rwg, gn._G,
+            )
+            rw = jnp.concatenate([bgj2 - bgi, baj2 - bai])
+            r = jnp.concatenate([r9, rw])
+            return r, r
+
+        if with_jac:
+            J, (r, _) = gn._jac_with_value(f, 15)
+            return r, J * col_free[None, :]
+        return f(jnp.zeros((15,), dtype))[0], None
+
+    def cost_of(R, t, v, bg, ba, p_mask, l_mask):
+        pr, _, _, lr, _ = vis_residuals(R, t, False)
+        prow, lrow = masks_rows(p_mask, l_mask)
+        pchi2 = jnp.sum(pr * pr * prow, -1)
+        lchi2 = jnp.sum(lr * lr * lrow, -1) * lsigma
+        cost = (gn._huber_cost(pchi2, pthr, p_mask)
+                + gn._huber_cost(lchi2, lthr, l_mask))
+        ir, _ = imu_residual_15(R, t, v, bg, ba, False)
+        r9, rw = ir[:9], ir[9:]
+        c_imu = r9 @ info9 @ r9
+        c_walk = rw @ info_walk @ rw
+        cost = cost + gn._huber_cost(c_imu[None], 16.92, imu.mask[0:1]) + c_walk
+        return cost
+
+    def run_round(R, t, v, bg, ba, p_mask, l_mask):
+        prow, lrow = masks_rows(p_mask, l_mask)
+
+        def body(carry, _):
+            R, t, v, bg, ba, lam, nu, cost = carry
+            pr, _, pJ6, lr, lJ6 = vis_residuals(R, t, True)
+            pchi2 = jnp.sum(pr * pr * prow, -1)
+            pw = res.huber_weight(pchi2, pthr) * p_mask
+            lchi2 = jnp.sum(lr * lr * lrow, -1) * lsigma
+            lw = res.huber_weight(lchi2, lthr) * l_mask * lsigma
+            pJ6 = pJ6 * prow[..., None] * pose_free
+            lJ6 = lJ6 * lrow[..., None] * pose_free
+            prw = pr * prow
+            lrw = lr * lrow
+            H6 = (jnp.einsum("k,kri,krj->ij", pw, pJ6, pJ6)
+                  + jnp.einsum("k,kri,krj->ij", lw, lJ6, lJ6))
+            b6 = -(jnp.einsum("k,kri,kr->i", pw, pJ6, prw)
+                   + jnp.einsum("k,kri,kr->i", lw, lJ6, lrw))
+            H = jnp.zeros((15, 15), dtype).at[:6, :6].set(H6)
+            b = jnp.zeros((15,), dtype).at[:6].set(b6)
+
+            ir, iJ = imu_residual_15(R, t, v, bg, ba, True)
+            r9 = ir[:9]
+            c_imu = r9 @ info9 @ r9
+            wi = res.huber_weight(c_imu[None], jnp.full((1,), 16.92))[0] * imu_mask
+            big_info = jnp.zeros((15, 15), dtype)
+            big_info = big_info.at[:9, :9].set(info9 * wi)
+            big_info = big_info.at[9:, 9:].set(info_walk)
+            JtW = iJ.T @ big_info  # (15, 15)
+            H = H + JtW @ iJ
+            b = b - JtW @ ir
+
+            H = H + lam * jnp.eye(15, dtype=dtype)
+            diag = jnp.diagonal(H)
+            H = H + jnp.diag(jnp.where(diag < 1e-10, 1.0, 0.0))
+            dx = jnp.linalg.solve(H, b)
+            R2, t2 = res.retract_pose(R, t, dx[0:6])
+            v2 = v + dx[6:9]
+            bg2 = bg + dx[9:12]
+            ba2 = ba + dx[12:15]
+            new_cost = cost_of(R2, t2, v2, bg2, ba2, p_mask, l_mask)
+            accept = new_cost < cost
+            pick = lambda a, b2: jnp.where(accept, a, b2)
+            carry2 = (pick(R2, R), pick(t2, t), pick(v2, v), pick(bg2, bg),
+                      pick(ba2, ba), jnp.where(accept, lam / 3.0, lam * nu),
+                      jnp.where(accept, 2.0, nu * 2.0),
+                      jnp.where(accept, new_cost, cost))
+            return carry2, None
+
+        cost0 = cost_of(R, t, v, bg, ba, p_mask, l_mask)
+        lam0 = jnp.asarray(1e-5 * 100.0, dtype)
+        (R, t, v, bg, ba, _, _, _), _ = jax.lax.scan(
+            body, (R, t, v, bg, ba, lam0, jnp.asarray(2.0, dtype), cost0),
+            None, length=iters,
+        )
+        pr, pz, _, lr, _ = vis_residuals(R, t, False)
+        prow, lrow = masks_rows(base_p_mask, base_l_mask)
+        pchi2 = jnp.sum(pr * pr * prow, -1)
+        p_in = (pchi2 <= pthr) & (pz > 0) & base_p_mask
+        lchi2 = jnp.sum(lr * lr * lrow, -1) * lsigma
+        l_in = (lchi2 <= lthr) & base_l_mask
+        return R, t, v, bg, ba, p_in, l_in
+
+    p_mask, l_mask = base_p_mask, base_l_mask
+    v, bg, ba = fr0.vel[cur], fr0.bg[cur], fr0.ba[cur]
+    for _ in range(rounds):
+        # per-round reset re-seeds the pose; velocity/bias keep running
+        R, t, v, bg, ba, p_mask, l_mask = run_round(
+            fr0.Rwb[cur], fr0.twb[cur], v, bg, ba, p_mask, l_mask)
+
+    new_frames = gn.FrameStates(
+        Rwb=jnp.stack([fr0.Rwb[0], R]), twb=jnp.stack([fr0.twb[0], t]),
+        vel=jnp.stack([fr0.vel[0], v]), bg=jnp.stack([fr0.bg[0], bg]),
+        ba=jnp.stack([fr0.ba[0], ba]),
+    )
+    out = problem._replace(frames=new_frames)
+    zeros_p = jnp.zeros_like(p_mask)
+    zeros_l = jnp.zeros_like(l_mask)
+    p_in2 = jnp.stack([zeros_p, p_mask], -1)
+    l_in2 = jnp.stack([zeros_l, l_mask], -1)
+    num_inliers = jnp.sum(p_mask) + jnp.sum(l_mask)
+    return out, p_in2, l_in2, num_inliers
+
+
+_fast_jit = functools.partial(jax.jit, static_argnames=("rounds", "iters"))
+_pose_only_fast_j = _fast_jit(_pose_only_fast)
+_pose_only_fast_vi_j = _fast_jit(_pose_only_fast_vi)
+
+
 def pose_only_optimization(
     problem: gn.BAProblem,
     intr,
@@ -210,15 +377,45 @@ def pose_only_optimization(
     kernel on currently-active observations, then relabel by chi².
     Returns (problem, point_inlier, line_inlier, num_inliers).
 
-    Vision-only single-frame problems dispatch to :func:`_pose_only_fast`
-    (identical numerics, ~10× faster on TPU); the general dense path serves
-    the VI variant (IMU factor present)."""
+    Dispatch (identical numerics in every branch, regression-tested):
+    - vision F=1 → :func:`_pose_only_fast` (one damped 6×6 per iteration);
+    - VI tracking shape (F=2, one IMU factor, frame 0 concretely fixed or a
+      tracer with the tracking layout) → :func:`_pose_only_fast_vi` (15×15);
+    - anything else → the general dense solver."""
     problem = problem._replace(
         point_fixed=jnp.ones_like(problem.point_fixed),
         line_fixed=jnp.ones_like(problem.line_fixed),
     )
-    if problem.imu is None and problem.frames.Rwb.shape[0] == 1:
-        return _pose_only_fast(problem, intr, cfg, rounds, iters)
+    F = problem.frames.Rwb.shape[0]
+    if problem.imu is None and F == 1:
+        return _pose_only_fast_j(problem, intr, cfg, rounds=rounds, iters=iters)
+    if (problem.imu is not None and F == 2
+            and problem.imu.idx_i.shape[0] == 1):
+        import numpy as _np
+
+        try:
+            pfc = _np.asarray(problem.pose_fixed)
+            vfc = _np.asarray(problem.vel_fixed)
+            ii = int(_np.asarray(problem.imu.idx_i)[0])
+            jj = int(_np.asarray(problem.imu.idx_j)[0])
+            tracking_shape = (bool(pfc[0]) and not bool(pfc[1])
+                              and bool(vfc[0]) and (ii, jj) == (0, 1))
+        except Exception:  # tracer (called under jit): trust tracking layout
+            tracking_shape = True
+        if tracking_shape:
+            return _pose_only_fast_vi_j(problem, intr, cfg,
+                                        rounds=rounds, iters=iters)
+    return _pose_only_general(problem, intr, cfg, rounds=rounds, iters=iters)
+
+
+@_fast_jit
+def _pose_only_general(
+    problem: gn.BAProblem,
+    intr,
+    cfg: gn.BAConfig = gn.BAConfig(),
+    rounds: int = 3,
+    iters: int = 10,
+):
     frames0 = problem.frames
     base_p_mask = problem.point_obs_mask
     base_l_mask = problem.line_obs_mask

@@ -260,3 +260,83 @@ def test_full_vio_pipeline():
         ib = int(round(tb / (times[1] - times[0])))
         d_gt = np.linalg.norm(seq["pos"][ib] - seq["pos"][ia])
         assert abs(d_est - d_gt) < 0.05
+
+
+def test_pose_only_fast_vi_matches_general():
+    """The VI tracking fast path (windows._pose_only_fast_vi: F=2, frame 0
+    fixed, one IMU factor, 15-dof) must match the general dense solver —
+    same residuals, IMU information/Huber handling, LM schedule and
+    relabeling."""
+    from airslam_tpu.backend import gn, windows
+    from airslam_tpu.core import lie
+    from tests.synthetic import default_intrinsics
+
+    rng = np.random.RandomState(7)
+    K = 64
+    intr = default_intrinsics()
+    fx, fy = float(intr.fx), float(intr.fy)
+    cx, cy, bf = float(intr.cx), float(intr.cy), float(intr.bf)
+    pts = rng.randn(K, 3) * 2 + [0, 0, 8]
+    xi = np.array([0.01, -0.02, 0.015, 0.08, -0.03, 0.1])
+    Rwb_t = np.asarray(lie.so3_exp(jnp.asarray(xi[:3])))
+    twb_t = xi[3:]
+    Rcw, tcw = Rwb_t.T, -Rwb_t.T @ twb_t
+    pc = (Rcw @ pts.T).T + tcw
+    u = pc[:, 0] / pc[:, 2] * fx + cx
+    v = pc[:, 1] / pc[:, 2] * fy + cy
+    ur = u - bf / pc[:, 2]
+    obs1 = np.stack([u, v, np.where(np.arange(K) % 2 == 0, ur, -1.0)], -1)
+    oi = rng.choice(K, K // 5, replace=False)
+    obs1[oi, :2] += rng.randn(len(oi), 2) * 30
+    obs = np.zeros((K, 2, 3))
+    obs[:, :, 2] = -1.0
+    obs[:, 1] = obs1
+    mask = np.zeros((K, 2), bool)
+    mask[:, 1] = True
+
+    dT = 0.25
+    imu = gn.IMUFactors(
+        idx_i=jnp.asarray([0], jnp.int32), idx_j=jnp.asarray([1], jnp.int32),
+        dR=jnp.asarray(np.eye(3)[None]),
+        dV=jnp.asarray(rng.randn(1, 3) * 0.01),
+        dP=jnp.asarray(rng.randn(1, 3) * 0.05 + [[0, 0, 0.1]]),
+        JRg=jnp.asarray(rng.randn(1, 3, 3) * 0.01),
+        JVg=jnp.asarray(rng.randn(1, 3, 3) * 0.01),
+        JVa=jnp.asarray(rng.randn(1, 3, 3) * 0.01),
+        JPg=jnp.asarray(rng.randn(1, 3, 3) * 0.01),
+        JPa=jnp.asarray(rng.randn(1, 3, 3) * 0.01),
+        bg_lin=jnp.zeros((1, 3)), ba_lin=jnp.zeros((1, 3)),
+        dT=jnp.asarray([dT]),
+        info=jnp.asarray(np.eye(9)[None] * 50.0),
+        info_walk=jnp.asarray(np.eye(6)[None] * 1e4),
+        mask=jnp.asarray([True]))
+
+    frames = gn.FrameStates(
+        Rwb=jnp.asarray(np.stack([np.eye(3), np.eye(3)])),
+        twb=jnp.zeros((2, 3)), vel=jnp.asarray(rng.randn(2, 3) * 0.1),
+        bg=jnp.zeros((2, 3)), ba=jnp.zeros((2, 3)))
+    prob = gn.BAProblem(
+        frames=frames, pose_fixed=jnp.asarray([True, False]),
+        vel_fixed=jnp.asarray([True, False]),
+        points=jnp.asarray(pts), point_fixed=jnp.ones(K, bool),
+        point_obs=jnp.asarray(obs), point_obs_mask=jnp.asarray(mask),
+        lines=jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]]),
+        line_fixed=jnp.ones(1, bool),
+        line_obs=jnp.zeros((1, 2, 8)), line_obs_stereo=jnp.zeros((1, 2), bool),
+        line_obs_mask=jnp.zeros((1, 2), bool),
+        line_obs_sigma=jnp.full((1, 2), 0.5),
+        Rwg=jnp.eye(3), gravity_free=jnp.asarray(0.0), imu=imu,
+        Rcb=jnp.eye(3), tcb=jnp.zeros(3))
+
+    o1, p1, _, n1 = windows.pose_only_optimization(prob, intr)  # fast VI
+    o2, p2, _, n2 = windows._pose_only_general(prob, intr)
+    np.testing.assert_allclose(np.asarray(o1.frames.Rwb[1]),
+                               np.asarray(o2.frames.Rwb[1]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(o1.frames.twb[1]),
+                               np.asarray(o2.frames.twb[1]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(o1.frames.vel[1]),
+                               np.asarray(o2.frames.vel[1]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(o1.frames.bg[1]),
+                               np.asarray(o2.frames.bg[1]), atol=1e-10)
+    assert int(n1) == int(n2)
+    assert (np.asarray(p1)[:, 1] == np.asarray(p2)[:, 1]).all()
