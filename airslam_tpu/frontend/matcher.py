@@ -89,7 +89,76 @@ class PointMatcher:
 
         return run
 
+    def _build_batched(self):
+        cfg = self.config
+        model_apply = self.model.apply
+        scale = self.norm_scale
+        is_lg = cfg.matcher == 0
+
+        @jax.jit
+        def run(params, kpts0, scores0, desc0, mask0, kpts1, scores1, desc1,
+                mask1, threshold):
+            def one(k0, s0, d0, m0, k1, s1, d1, m1):
+                nk0 = normalize_keypoints(k0, cfg.image_width, cfg.image_height, scale)
+                nk1 = normalize_keypoints(k1, cfg.image_width, cfg.image_height, scale)
+                if is_lg:
+                    scores, _, _ = model_apply(params, nk0, d0, m0, nk1, d1, m1)
+                else:
+                    scores = model_apply(params, nk0, s0, d0, m0, nk1, s1, d1, m1)
+                return mutual_match(scores, m0, m1, threshold)
+
+            return jax.vmap(one)(kpts0, scores0, desc0, mask0,
+                                 kpts1, scores1, desc1, mask1)
+
+        return run
+
     # -- public ------------------------------------------------------------
+
+    def matching_points_batched(self, pairs, outlier_rejection: bool = False,
+                                threshold: Optional[float] = None):
+        """Match B (feats0, feats1) pairs in ONE device dispatch (vmapped
+        model — e.g. the relocalization top-3 candidate loop, map_user.cc:
+        360-376, becomes one batched program instead of B sequential ones).
+        Returns a list of (match_pairs (M,2), scores (M,)) like
+        :meth:`matching_points`."""
+        if not pairs:
+            return []
+        if getattr(self, "_jitted_batched", None) is None:
+            self._jitted_batched = self._build_batched()
+        thr = self.threshold if threshold is None else threshold
+
+        def stack(field):
+            return jnp.asarray(np.stack([np.asarray(field(a, b)) for a, b in pairs]))
+
+        m = self._jitted_batched(
+            self.params,
+            stack(lambda a, b: a.keypoints).astype(jnp.float32),
+            stack(lambda a, b: a.kp_scores).astype(jnp.float32),
+            stack(lambda a, b: a.kp_desc).astype(jnp.float32),
+            stack(lambda a, b: a.kp_mask),
+            stack(lambda a, b: b.keypoints).astype(jnp.float32),
+            stack(lambda a, b: b.kp_scores).astype(jnp.float32),
+            stack(lambda a, b: b.kp_desc).astype(jnp.float32),
+            stack(lambda a, b: b.kp_mask),
+            jnp.asarray(thr, jnp.float32),
+        )
+        out = []
+        mask_b = np.asarray(m.mask)
+        idx_b = np.asarray(m.idx1)
+        sc_b = np.asarray(m.score)
+        for bi, (f0, f1) in enumerate(pairs):
+            i0 = np.nonzero(mask_b[bi])[0]
+            i1 = idx_b[bi][i0]
+            sc = sc_b[bi][i0]
+            if outlier_rejection and len(i0) > 8 and cv2 is not None:
+                p0 = np.asarray(f0.keypoints)[i0].astype(np.float32)
+                p1 = np.asarray(f1.keypoints)[i1].astype(np.float32)
+                _, inl = cv2.findFundamentalMat(p0, p1, cv2.FM_RANSAC, 20.0, 0.99)
+                if inl is not None:
+                    good = inl.ravel().astype(bool)
+                    i0, i1, sc = i0[good], i1[good], sc[good]
+            out.append((np.stack([i0, i1], axis=-1).astype(np.int32), sc))
+        return out
 
     def match(
         self,

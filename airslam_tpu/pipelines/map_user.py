@@ -143,12 +143,21 @@ class MapUser:
 
         ordered = sorted(groups.items(), key=lambda kv: -kv[1]["score"])[:3]
 
-        best_pairs, best_kf = None, None
-        for deputy, _ in ordered:
-            kf = self.map.keyframes[deputy]
-            pairs, _ = self.matcher.matching_points(
-                frame, kf, outlier_rejection=True, threshold=self.match_threshold
+        cands = [(frame, self.map.keyframes[d]) for d, _ in ordered]
+        if hasattr(self.matcher, "matching_points_batched"):
+            # top-3 candidates in ONE vmapped dispatch (map_user.cc:360-376)
+            results = self.matcher.matching_points_batched(
+                cands, outlier_rejection=True, threshold=self.match_threshold
             )
+        else:
+            results = [
+                self.matcher.matching_points(
+                    a, b, outlier_rejection=True, threshold=self.match_threshold
+                )
+                for a, b in cands
+            ]
+        best_pairs, best_kf = None, None
+        for (deputy, _), (pairs, _) in zip(ordered, results):
             if best_pairs is None or len(pairs) > len(best_pairs):
                 best_pairs, best_kf = pairs, deputy
         if best_pairs is None or len(best_pairs) < self.min_inlier_num:

@@ -122,3 +122,31 @@ def test_matching_points_pairs_api():
     assert pairs.shape[1] == 2
     assert len(pairs) > 25
     assert np.all(pairs[:, 0] == pairs[:, 1])
+
+
+def test_matching_points_batched_matches_sequential():
+    """matching_points_batched (one vmapped dispatch for B pairs — the
+    relocalization top-3 loop) must return exactly what B sequential
+    matching_points calls return."""
+    cfg = MatcherConfig(matcher=0, max_keypoints=32)
+    pm = PointMatcher(cfg, seed=0)
+
+    def feats(seed):
+        k, s, d, m = _fake_features(32, 32, seed=seed)
+        return FrameFeatures(
+            keypoints=k, kp_scores=s, kp_desc=d, kp_mask=m,
+            lines=np.zeros((4, 4)), line_scores=np.zeros(4),
+            line_mask=np.zeros(4, bool), junctions=np.zeros((4, 2)),
+            junc_scores=np.zeros(4), junc_desc=np.zeros((4, 256)),
+            junc_mask=np.zeros(4, bool),
+        )
+
+    fs = [feats(i) for i in range(4)]
+    cands = [(fs[0], fs[1]), (fs[0], fs[2]), (fs[2], fs[3])]
+    batched = pm.matching_points_batched(cands, threshold=0.01)
+    assert len(batched) == 3
+    for (a, b), (bp, bs) in zip(cands, batched):
+        sp, ss = pm.matching_points(a, b, threshold=0.01)
+        assert np.array_equal(bp, sp)
+        # vmapped fp fusion differs slightly from the single-pair program
+        np.testing.assert_allclose(bs, ss, rtol=1e-3, atol=1e-4)
