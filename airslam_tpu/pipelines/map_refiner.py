@@ -393,6 +393,7 @@ class MapRefiner:
     def merge_mappoints(self):
         """Union-find grouping of matched mappoints (native kernel); keep the
         lowest id, transfer observers, drop the rest."""
+        self.n_merged_mappoints = getattr(self, "n_merged_mappoints", 0)
         from airslam_tpu.utils import native
 
         pair_list = [(a, b) for a, bs in self.merged_mappoints.items() for b in bs]
@@ -451,6 +452,7 @@ class MapRefiner:
            re-triangulate if needed, delete the rest
            (``MergeMaplineGroup``, map_refiner.cc:909-954).
         """
+        self.n_merged_maplines = getattr(self, "n_merged_maplines", 0)
         m = self.map
         # 1. mappoint -> set of mapline ids
         maplines_of_mpt: Dict[int, Set[int]] = {}
