@@ -156,34 +156,39 @@ class MapUser:
                 )
                 for a, b in cands
             ]
-        best_pairs, best_kf = None, None
-        for (deputy, _), (pairs, _) in zip(ordered, results):
-            if best_pairs is None or len(pairs) > len(best_pairs):
-                best_pairs, best_kf = pairs, deputy
-        if best_pairs is None or len(best_pairs) < self.min_inlier_num:
-            return False, np.eye(4)
+        # attempt candidates best-match-count first; fall through to the next
+        # candidate when PnP/refinement fails (the matches were already
+        # computed in the one batched dispatch, so extra attempts only cost
+        # the PnP — a strict superset of the reference's single best attempt)
+        order = sorted(range(len(results)), key=lambda i: -len(results[i][0]))
+        last_Twc = np.eye(4)
+        for bi in order:
+            pairs = results[bi][0]
+            if len(pairs) < self.min_inlier_num:
+                break  # sorted: nothing later can pass either
+            loop_kf = self.map.keyframes[ordered[bi][0]]
+            matched = {}
+            for qi, li in pairs:
+                tid = int(loop_kf.track_ids[li])
+                mpt = self.map.mappoints.get(tid)
+                if mpt is not None and mpt.is_valid:
+                    matched[int(qi)] = mpt
 
-        loop_kf = self.map.keyframes[best_kf]
-        matched = {}
-        for qi, li in best_pairs:
-            tid = int(loop_kf.track_ids[li])
-            mpt = self.map.mappoints.get(tid)
-            if mpt is not None and mpt.is_valid:
-                matched[int(qi)] = mpt
+            ok, Twc, n_inliers = self._solve_pnp(frame, matched)
+            if not ok:
+                continue
+            frame.set_pose(Twc)
+            last_Twc = Twc
 
-        ok, Twc, n_inliers = self._solve_pnp(frame, matched)
-        if not ok:
-            return False, np.eye(4)
-        frame.set_pose(Twc)
+            if self.pose_refinement:
+                if len(matched) < self.min_inlier_num:
+                    continue
+                Twc, n_inliers = self._refine_pose(frame, matched)
+                last_Twc = Twc
 
-        if self.pose_refinement:
-            if len(matched) < self.min_inlier_num:
-                return False, Twc
-            Twc, n_inliers = self._refine_pose(frame, matched)
-
-        if n_inliers < self.min_inlier_num:
-            return False, Twc
-        return True, Twc
+            if n_inliers >= self.min_inlier_num:
+                return True, Twc
+        return False, last_Twc
 
     # ------------------------------------------------------------------
 
