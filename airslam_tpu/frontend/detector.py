@@ -115,6 +115,8 @@ def _detect_single(
         plnet_out["loi"],
         plnet_out["loi_thin"],
         plnet_out["loi_aux"],
+        junc_xy=juncs.xy,
+        pair_idx=cands.pairs,
     )
     decoded = wireframe.gate_lines(
         lines_adj,

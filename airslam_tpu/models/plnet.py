@@ -209,7 +209,8 @@ class LoiHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, lines, prop_lines, loi, loi_thin, loi_aux):
+    def __call__(self, lines, prop_lines, loi, loi_thin, loi_aux,
+                 junc_xy=None, pair_idx=None):
         """lines: (L, 4) candidate (x1, y1, x2, y2) in 128-grid coords;
         feature maps: (128, 128, C). ``prop_lines`` is accepted for call
         compatibility with :class:`LoiHeadS1` and ignored (this fast head
@@ -267,10 +268,19 @@ class LoiHeadS1(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, lines, prop_lines, loi, loi_thin, loi_aux):
+    def __call__(self, lines, prop_lines, loi, loi_thin, loi_aux,
+                 junc_xy=None, pair_idx=None):
         """lines/prop_lines: (L, 4) (x1, y1, x2, y2) in 128-grid coords;
         loi: (128, 128, 128) HWC, loi_thin/aux: (128, 128, 4) HWC.
-        Returns (scores (L,), lines_adjusted (L, 4))."""
+        Returns (scores (L,), lines_adjusted (L, 4)).
+
+        ``junc_xy`` (J, 2) + ``pair_idx`` (L, 2): optional fast endpoint
+        path — candidate endpoints ARE junction coordinates (dedup_pairs
+        orders them (jmax, jmin)), so the 128-ch LOI map is sampled once per
+        junction (J≤300) and gathered per line, instead of 2L=1024 samples
+        whose (N, W, C) one-hot intermediates dominate the head's HBM
+        traffic. Same coordinates and contraction — outputs agree to
+        reduction-order rounding (≤1 ulp f32)."""
         n = 30
         # The ONNX graph bakes the two t-ramps as float32 constants whose
         # LSBs differ from 1-t of each other; keep them as parameters so the
@@ -282,10 +292,17 @@ class LoiHeadS1(nn.Module):
             "t_rev", lambda k: (jnp.arange(n, 0, -1, dtype=jnp.float32) / (n + 1))
         )
 
-        e1 = lines[:, 0:2]
-        e2 = lines[:, 2:4]
-        f_ep1 = _onnx_bilerp(loi, e1[:, 0] - 0.5, e1[:, 1] - 0.5)  # (L, 128)
-        f_ep2 = _onnx_bilerp(loi, e2[:, 0] - 0.5, e2[:, 1] - 0.5)
+        if junc_xy is not None and pair_idx is not None:
+            f_junc = _onnx_bilerp(loi, junc_xy[:, 0] - 0.5, junc_xy[:, 1] - 0.5)
+            j = junc_xy.shape[0]
+            idx = jnp.clip(pair_idx, 0, j - 1)
+            f_ep1 = jnp.take(f_junc, idx[:, 0], axis=0)  # (L, 128)
+            f_ep2 = jnp.take(f_junc, idx[:, 1], axis=0)
+        else:
+            e1 = lines[:, 0:2]
+            e2 = lines[:, 2:4]
+            f_ep1 = _onnx_bilerp(loi, e1[:, 0] - 0.5, e1[:, 1] - 0.5)  # (L, 128)
+            f_ep2 = _onnx_bilerp(loi, e2[:, 0] - 0.5, e2[:, 1] - 0.5)
 
         def interior(seg):  # (L, 4) -> x (L, 30), y (L, 30)
             x = seg[:, 0:1] * t_fwd[None, :] + seg[:, 2:3] * t_rev[None, :] - 0.5
