@@ -65,20 +65,23 @@ def main():
     # overhead 4× better than the original 4/64 pair; min-of-5 suppresses
     # sustained-rate wander (consecutive identical runs were observed ±20%
     # apart through the tunnel)
-    T_LO, T_HI, REPS = 16, 256, 5
-    best = {}
+    T_LO, T_HI, REPS = 16, 256, 10
+    frames_of = {}
     for T in (T_LO, T_HI):
-        frames = jnp.asarray(rng.rand(T, 2, 480, 752).astype(np.float32))
-        c = run_frames(plp, loip, lgp, frames, jnp.asarray(0.0, jnp.float32))
+        frames_of[T] = jnp.asarray(rng.rand(T, 2, 480, 752).astype(np.float32))
+        c = run_frames(plp, loip, lgp, frames_of[T], jnp.asarray(0.0, jnp.float32))
         _ = float(np.asarray(c))  # compile + warmup, genuine sync
-        times = []
-        for rep in range(REPS):
+    # interleave the two scan lengths so slow phases of the tunnel hit both
+    # estimates equally; the tunnel's noise is strictly additive, so
+    # min-of-N converges on the true device rate from above
+    best = {T_LO: 1e9, T_HI: 1e9}
+    for rep in range(REPS):
+        for T in (T_LO, T_HI):
             seed = jnp.asarray(1e-5 * (rep + 1), jnp.float32)
             t0 = time.perf_counter()
-            c = run_frames(plp, loip, lgp, frames, seed)
+            c = run_frames(plp, loip, lgp, frames_of[T], seed)
             _ = float(np.asarray(c))
-            times.append(time.perf_counter() - t0)
-        best[T] = min(times)
+            best[T] = min(best[T], time.perf_counter() - t0)
 
     if args.profile:
         jax.profiler.stop_trace()
