@@ -90,3 +90,28 @@ def test_training_reduces_loss():
         state, loss = step(state, batch)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, f"no learning: {losses[0]:.3f} -> {losses[-1]:.3f}"
+
+
+def test_sharded_detect_matches_single_device():
+    """Frame-parallel frontend: detector.detect with the batch sharded over
+    the full 8-device mesh must reproduce the single-device outputs (offline
+    mapping / refinement re-detection at N-chip throughput)."""
+    import numpy as np
+    from airslam_tpu.frontend.detector import DetectorConfig, FeatureDetector
+    from airslam_tpu.parallel import mesh as pmesh
+    from airslam_tpu.parallel.frontend import sharded_detect
+
+    cfg = DetectorConfig(max_keypoints=64, max_lines=32, max_proposals=512)
+    det = FeatureDetector(cfg, seed=0)
+    rng = np.random.RandomState(0)
+    frames = rng.rand(3, 120, 188).astype(np.float32)  # pads 3 -> 8
+
+    ref = det.detect(frames)
+    m = pmesh.make_mesh(8)
+    out = sharded_detect(det, frames, m)
+    assert out.keypoints.shape == ref.keypoints.shape
+    np.testing.assert_allclose(np.asarray(out.keypoints),
+                               np.asarray(ref.keypoints), atol=1e-3)
+    assert (np.asarray(out.kp_mask) == np.asarray(ref.kp_mask)).all()
+    np.testing.assert_allclose(np.asarray(out.lines), np.asarray(ref.lines),
+                               atol=1e-2)
