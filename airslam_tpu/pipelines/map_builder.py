@@ -133,16 +133,35 @@ class MapBuilder:
             f0 = jtu.tree_map(lambda t: np.asarray(t[0]), feats)
             f1 = jtu.tree_map(lambda t: np.asarray(t[1]), feats)
         with sect("stereo_match"):
-            pairs, _ = self.matcher.matching_points(f0, f1, threshold=self.match_threshold)
+            pairs, temporal = self._stereo_and_temporal(f0, f1)
         with sect("track"):
-            return self.track_features(timestamp, f0, f1, pairs, imu_batch)
+            return self.track_features(timestamp, f0, f1, pairs, imu_batch,
+                                       temporal_matches=temporal)
+
+    def _stereo_and_temporal(self, f0, f1):
+        """ONE batched matcher dispatch per frame: the stereo pair and (once
+        tracking) the temporal match against the last keyframe — instead of
+        two sequential programs (the reference pays two LightGlue engine
+        executions per frame, map_builder.cc:56-155). Returns
+        (stereo_pairs, temporal_pairs-or-None)."""
+        if (self.init and self.last_keyframe is not None
+                and hasattr(self.matcher, "matching_points_batched")):
+            res = self.matcher.matching_points_batched(
+                [(f0, f1), (self.last_keyframe, f0)],
+                threshold=self.match_threshold,
+            )
+            return res[0][0], res[1][0]
+        pairs, _ = self.matcher.matching_points(f0, f1, threshold=self.match_threshold)
+        return pairs, None
 
     # ------------------------------------------------------------------
 
     def track_features(self, timestamp, feats_left, feats_right, stereo_pairs,
-                       imu_batch=None):
+                       imu_batch=None, temporal_matches=None):
         """Core pipeline entry taking pre-computed features (also the test
-        surface). feats_*: FrameFeatures-like; stereo_pairs: (M, 2)."""
+        surface). feats_*: FrameFeatures-like; stereo_pairs: (M, 2);
+        ``temporal_matches``: optional precomputed last-keyframe matches
+        (from the batched dispatch in :meth:`_stereo_and_temporal`)."""
         frame = self._build_frame(timestamp, feats_left, feats_right, stereo_pairs)
 
         if self.camera_uses_imu() and imu_batch is not None and self.last_keyframe is not None:
@@ -159,7 +178,8 @@ class MapBuilder:
                 self._initialize(frame)
             return frame
 
-        matches = self._match_frames(self.last_keyframe, frame)
+        matches = (temporal_matches if temporal_matches is not None
+                   else self._match_frames(self.last_keyframe, frame))
         num_inliers = self._track_frame(self.last_keyframe, frame, matches)
 
         self._trajectory.append((
@@ -647,5 +667,5 @@ class PipelinedRunner:
         b = self.builder
         f0 = jtu.tree_map(lambda t: np.asarray(t[0]), feats_dev)
         f1 = jtu.tree_map(lambda t: np.asarray(t[1]), feats_dev)
-        pairs, _ = b.matcher.matching_points(f0, f1, threshold=b.match_threshold)
-        b.track_features(ts, f0, f1, pairs, imu)
+        pairs, temporal = b._stereo_and_temporal(f0, f1)
+        b.track_features(ts, f0, f1, pairs, imu, temporal_matches=temporal)
