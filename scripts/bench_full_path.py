@@ -35,7 +35,9 @@ REFERENCE_HZ = 73.0  # full system, /root/reference/README.md:33
 KEYFRAME_RATE = 0.2  # ~1 keyframe per 5 frames (reference keyframe policy)
 
 
-def build_full_step():
+def build_full_step(vi: bool = False):
+    """``vi=True`` swaps the tracking solver for the visual-inertial variant
+    (F=2 with the fixed last keyframe, one IMU factor, 15-dof fast path)."""
     from __graft_entry__ import entry
     from airslam_tpu.backend import gn, windows
     from airslam_tpu.core.camera import Intrinsics
@@ -76,27 +78,45 @@ def build_full_step():
         # pose-only problem: kf slot i ↔ current keypoint mt.idx1[i]
         idx = jnp.clip(mt.idx1, 0, K - 1)
         uv = jnp.take(f0kp, idx, axis=0).astype(dt)  # (K, 2)
-        obs = jnp.concatenate([uv, -jnp.ones((K, 1), dt)], axis=-1)[:, None, :]
-        mask = mt.mask[:, None]
-        Rwb = jnp.eye(3, dtype=dt)[None]
-        twb = jnp.zeros((1, 3), dt)
+        F = 2 if vi else 1
+        cur = F - 1
+        obs = jnp.zeros((K, F, 3), dt).at[..., 2].set(-1.0)
+        obs = obs.at[:, cur, :2].set(uv)
+        mask = jnp.zeros((K, F), bool).at[:, cur].set(mt.mask)
+        eye = jnp.eye(3, dtype=dt)
+        imu = None
+        if vi:
+            imu = gn.IMUFactors(
+                idx_i=jnp.asarray([0], jnp.int32), idx_j=jnp.asarray([1], jnp.int32),
+                dR=eye[None], dV=jnp.zeros((1, 3), dt), dP=jnp.zeros((1, 3), dt),
+                JRg=jnp.zeros((1, 3, 3), dt), JVg=jnp.zeros((1, 3, 3), dt),
+                JVa=jnp.zeros((1, 3, 3), dt), JPg=jnp.zeros((1, 3, 3), dt),
+                JPa=jnp.zeros((1, 3, 3), dt),
+                bg_lin=jnp.zeros((1, 3), dt), ba_lin=jnp.zeros((1, 3), dt),
+                dT=jnp.asarray([0.25], dt),
+                info=jnp.asarray(np.eye(9, dtype=np.float32)[None] * 50.0),
+                info_walk=jnp.asarray(np.eye(6, dtype=np.float32)[None] * 1e4),
+                mask=jnp.asarray([True]))
         problem = gn.BAProblem(
-            frames=gn.FrameStates(Rwb=Rwb, twb=twb, vel=jnp.zeros((1, 3), dt),
-                                  bg=jnp.zeros((1, 3), dt), ba=jnp.zeros((1, 3), dt)),
-            pose_fixed=jnp.zeros(1, bool), vel_fixed=jnp.ones(1, bool),
+            frames=gn.FrameStates(
+                Rwb=jnp.broadcast_to(eye, (F, 3, 3)), twb=jnp.zeros((F, 3), dt),
+                vel=jnp.zeros((F, 3), dt), bg=jnp.zeros((F, 3), dt),
+                ba=jnp.zeros((F, 3), dt)),
+            pose_fixed=jnp.asarray([True] * (F - 1) + [False]),
+            vel_fixed=jnp.asarray([True] * (F - 1) + [not vi]),
             points=landmarks.astype(dt), point_fixed=jnp.ones(K, bool),
             point_obs=obs, point_obs_mask=mask,
             lines=jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]], dt),
             line_fixed=jnp.ones(1, bool),
-            line_obs=jnp.zeros((1, 1, 8), dt), line_obs_stereo=jnp.zeros((1, 1), bool),
-            line_obs_mask=jnp.zeros((1, 1), bool),
-            line_obs_sigma=jnp.full((1, 1), 0.5, dt),
-            Rwg=jnp.eye(3, dtype=dt), gravity_free=jnp.asarray(0.0, dt), imu=None,
-            Rcb=jnp.eye(3, dtype=dt), tcb=jnp.zeros(3, dt),
+            line_obs=jnp.zeros((1, F, 8), dt), line_obs_stereo=jnp.zeros((1, F), bool),
+            line_obs_mask=jnp.zeros((1, F), bool),
+            line_obs_sigma=jnp.full((1, F), 0.5, dt),
+            Rwg=eye, gravity_free=jnp.asarray(0.0, dt), imu=imu,
+            Rcb=eye, tcb=jnp.zeros(3, dt),
         )
         out, p_in, _, n_in = windows.pose_only_optimization(problem, intr, cfg)
         return (f0kp, f1kp, st_idx, st_score, lines, line_mask,
-                out.frames.Rwb, out.frames.twb, n_in, mt.score)
+                out.frames.Rwb, out.frames.twb, out.frames.vel, n_in, mt.score)
 
     rng = np.random.RandomState(0)
     kf = (jnp.asarray(rng.randn(K, 256).astype(np.float32)),
@@ -111,12 +131,14 @@ def main():
     ap.add_argument("--t_lo", type=int, default=16)
     ap.add_argument("--t_hi", type=int, default=256)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--vi", action="store_true",
+                    help="visual-inertial tracking variant (15-dof solver)")
     args = ap.parse_args()
 
     from airslam_tpu.utils import jaxcache
 
     jaxcache.enable()
-    full_step, (plp, loip, lgp, kf, landmarks) = build_full_step()
+    full_step, (plp, loip, lgp, kf, landmarks) = build_full_step(vi=args.vi)
 
     @jax.jit
     def run_frames(plp, loip, lgp, kf, landmarks, frames, seed):
@@ -152,7 +174,8 @@ def main():
     t_ba = 8.9e-3
     amortized = 1.0 / (dt + KEYFRAME_RATE * t_ba)
     print(json.dumps({
-        "metric": "frame_compute_path_hz_per_chip",
+        "metric": ("frame_compute_path_vi_hz_per_chip" if args.vi
+                   else "frame_compute_path_hz_per_chip"),
         "value": round(hz, 2),
         "unit": "Hz @752x480 (detect x2 + stereo match + temporal match + pose-only GN 3x10, one graph)",
         "amortized_full_system_hz": round(amortized, 2),
