@@ -169,9 +169,9 @@ def main():
 
     dt = (best[args.t_hi] - best[args.t_lo]) / (args.t_hi - args.t_lo)
     hz = 1.0 / dt
-    # amortized full system with local BA at keyframe rate (8.9 ms measured
+    # amortized full system with local BA at keyframe rate (8.5 ms measured
     # by apps/bench_backend.py on the same chip, f32 15-frame padded window)
-    t_ba = 8.9e-3
+    t_ba = 8.5e-3
     amortized = 1.0 / (dt + KEYFRAME_RATE * t_ba)
     print(json.dumps({
         "metric": ("frame_compute_path_vi_hz_per_chip" if args.vi
