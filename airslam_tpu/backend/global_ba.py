@@ -77,6 +77,7 @@ class SparseBAProblem(NamedTuple):
     vel_fixed: Optional[jax.Array] = None  # (F,) bool
     Rwg: Optional[jax.Array] = None  # (3, 3)
     imu: Optional[IMUFactors] = None
+    g_value: jax.Array = 9.81  # gravity magnitude (per-problem, no globals)
 
 
 def _point_rj(prob: SparseBAProblem, intr, with_jac: bool):
@@ -179,7 +180,8 @@ def _total_cost(prob, intr, cfg: BAConfig, robust: bool):
             jnp.where(prob.lobs_mask, lchi2, 0.0)
         )
     if prob.imu is not None:
-        r, _ = gn.imu_residuals(_frame_states(prob), prob.imu, prob.Rwg, False)
+        r, _ = gn.imu_residuals(_frame_states(prob), prob.imu, prob.Rwg, False,
+                                prob.g_value)
         r9, rw = r[:, :9], r[:, 9:15]
         info9 = prob.imu.info * cfg.imu_info_scale
         c_imu = jnp.einsum("ki,kij,kj->k", r9, info9, r9)
@@ -340,7 +342,8 @@ def _assemble_and_solve(prob: SparseBAProblem, intr, cfg, lam, robust,
         bred = bred.at[pose_cols].add((bc - bs).reshape(-1))
 
         imu = prob.imu
-        ir, iJ = gn.imu_residuals(_frame_states(prob), imu, prob.Rwg, True)
+        ir, iJ = gn.imu_residuals(_frame_states(prob), imu, prob.Rwg, True,
+                                  prob.g_value)
         info9 = imu.info * cfg.imu_info_scale
         if robust:
             c_imu = jnp.einsum("ki,kij,kj->k", ir[:, :9], info9, ir[:, :9])
@@ -500,3 +503,35 @@ def build_obs_table(n_landmarks: int, lidx: np.ndarray, mask: np.ndarray,
             table[li, counts[li]] = oi
             counts[li] += 1
     return table
+
+def dense_to_sparse(prob: "gn.BAProblem", max_obs: int = 16,
+                    dtype=jnp.float64) -> SparseBAProblem:
+    """Convert a dense-grid ``gn.BAProblem`` (point observations) to the
+    observation-list form. Host-side utility for handing a window problem to
+    the map-scale solver (and for equivalence tests / the multichip dryrun)."""
+    obs = np.asarray(prob.point_obs)
+    mask = np.asarray(prob.point_obs_mask)
+    P, F = mask.shape
+    pi, fi = np.nonzero(mask)
+    n = len(pi)
+    ppidx = pi.astype(np.int32)
+    pfidx = fi.astype(np.int32)
+    pobs = obs[pi, fi]
+    pmask = np.ones(n, bool)
+    table = build_obs_table(P, ppidx, pmask, n, max_obs)
+    L = prob.lines.shape[0]
+    return SparseBAProblem(
+        Rwb=prob.frames.Rwb.astype(dtype), twb=prob.frames.twb.astype(dtype),
+        pose_fixed=prob.pose_fixed,
+        points=prob.points.astype(dtype),
+        pobs_pidx=jnp.asarray(ppidx), pobs_fidx=jnp.asarray(pfidx),
+        pobs=jnp.asarray(pobs, dtype), pobs_mask=jnp.asarray(pmask),
+        point_obs_table=jnp.asarray(table),
+        lines=prob.lines.astype(dtype),
+        lobs_lidx=jnp.zeros(1, jnp.int32), lobs_fidx=jnp.zeros(1, jnp.int32),
+        lobs=jnp.zeros((1, 8), dtype), lobs_stereo=jnp.zeros(1, bool),
+        lobs_mask=jnp.zeros(1, bool), lobs_sigma=jnp.full((1,), 0.001, dtype),
+        line_obs_table=jnp.full((L, 1), 1, jnp.int32),
+        Rcb=prob.Rcb.astype(dtype), tcb=prob.tcb.astype(dtype),
+        g_value=prob.g_value,
+    )

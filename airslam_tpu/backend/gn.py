@@ -96,6 +96,9 @@ class BAProblem(NamedTuple):
     # camera
     Rcb: jax.Array  # (3, 3)
     tcb: jax.Array  # (3,)
+    # gravity magnitude (camera.cc g_value). A pytree leaf so two problems
+    # with different g coexist in one process (no module-global state).
+    g_value: jax.Array = 9.81
 
 
 class BAConfig(NamedTuple):
@@ -194,10 +197,12 @@ def _line_grid_residuals(problem: BAProblem, intr, with_jac: bool):
 
 
 def _imu_residuals(problem: BAProblem, with_jac: bool):
-    return imu_residuals(problem.frames, problem.imu, problem.Rwg, with_jac)
+    return imu_residuals(problem.frames, problem.imu, problem.Rwg, with_jac,
+                         problem.g_value)
 
 
-def imu_residuals(fr: FrameStates, imu: IMUFactors, Rwg, with_jac: bool):
+def imu_residuals(fr: FrameStates, imu: IMUFactors, Rwg, with_jac: bool,
+                  g_value=9.81):
     """Residuals/Jacobians for IMU factors (shared by the dense window solver
     and the sparse map-scale solver in backend/global_ba.py). Delta layout per
     factor: (frame_i 15 | frame_j 15 | gravity 2) = 32."""
@@ -223,7 +228,7 @@ def imu_residuals(fr: FrameStates, imu: IMUFactors, Rwg, with_jac: bool):
                 Ri2, ti2, vi2, Rj2, tj2, vj2, bgj2, baj2,
                 imu.dR[k], imu.dV[k], imu.dP[k],
                 imu.JRg[k], imu.JVg[k], imu.JVa[k], imu.JPg[k], imu.JPa[k],
-                imu.bg_lin[k], imu.ba_lin[k], imu.dT[k], Rwg2, _G,
+                imu.bg_lin[k], imu.ba_lin[k], imu.dT[k], Rwg2, g_value,
             )
             # bias random walk: bg_j − bg_i, ba_j − ba_i (EdgeGyr/EdgeAcc)
             rw = jnp.concatenate(
@@ -240,14 +245,6 @@ def imu_residuals(fr: FrameStates, imu: IMUFactors, Rwg, with_jac: bool):
 
     ks = jnp.arange(imu.idx_i.shape[0])
     return jax.vmap(one)(ks)
-
-
-_G = 9.81  # overridden via set_gravity
-
-
-def set_gravity(g: float):
-    global _G
-    _G = float(g)
 
 
 # ---------------------------------------------------------------------------

@@ -249,7 +249,8 @@ def _pose_only_fast_vi(problem, intr, cfg, rounds: int, iters: int):
                 Ri, ti, vi, Rj2, tj2, vj2, bgj2, baj2,
                 imu.dR[0], imu.dV[0], imu.dP[0],
                 imu.JRg[0], imu.JVg[0], imu.JVa[0], imu.JPg[0], imu.JPa[0],
-                imu.bg_lin[0], imu.ba_lin[0], imu.dT[0], problem.Rwg, gn._G,
+                imu.bg_lin[0], imu.ba_lin[0], imu.dT[0], problem.Rwg,
+                problem.g_value,
             )
             rw = jnp.concatenate([bgj2 - bgi, baj2 - bai])
             r = jnp.concatenate([r9, rw])
@@ -369,6 +370,7 @@ def pose_only_optimization(
     cfg: gn.BAConfig = gn.BAConfig(),
     rounds: int = 3,
     iters: int = 10,
+    vi_tracking: Optional[bool] = None,
 ):
     """Pose-only optimization: all landmarks fixed (the caller sets
     ``point_fixed``/``line_fixed`` to all-True). Per round: reset the pose to
@@ -379,9 +381,15 @@ def pose_only_optimization(
 
     Dispatch (identical numerics in every branch, regression-tested):
     - vision F=1 → :func:`_pose_only_fast` (one damped 6×6 per iteration);
-    - VI tracking shape (F=2, one IMU factor, frame 0 concretely fixed or a
-      tracer with the tracking layout) → :func:`_pose_only_fast_vi` (15×15);
-    - anything else → the general dense solver."""
+    - VI tracking shape (F=2, one IMU factor, frame 0 fixed with frame 1's
+      pose/vel/bias free) → :func:`_pose_only_fast_vi` (15×15);
+    - anything else → the general dense solver.
+
+    ``vi_tracking`` makes the VI fast path explicit: ``True`` asserts the
+    tracking layout (required when calling under jit, where the fix pattern
+    cannot be inspected), ``False`` forces the general solver, ``None``
+    auto-detects from concrete values — and under a tracer conservatively
+    routes to the general solver (never silently assumes the layout)."""
     problem = problem._replace(
         point_fixed=jnp.ones_like(problem.point_fixed),
         line_fixed=jnp.ones_like(problem.line_fixed),
@@ -389,20 +397,31 @@ def pose_only_optimization(
     F = problem.frames.Rwb.shape[0]
     if problem.imu is None and F == 1:
         return _pose_only_fast_j(problem, intr, cfg, rounds=rounds, iters=iters)
-    if (problem.imu is not None and F == 2
-            and problem.imu.idx_i.shape[0] == 1):
-        import numpy as _np
+    vi_shape = (problem.imu is not None and F == 2
+                and problem.imu.idx_i.shape[0] == 1)
+    if vi_tracking and not vi_shape:
+        raise ValueError(
+            "vi_tracking=True requires F=2 with exactly one IMU factor "
+            f"(got F={F}, imu={'yes' if problem.imu is not None else 'no'})")
+    if vi_shape and vi_tracking is not False:
+        if vi_tracking is None:
+            import numpy as _np
 
-        try:
-            pfc = _np.asarray(problem.pose_fixed)
-            vfc = _np.asarray(problem.vel_fixed)
-            ii = int(_np.asarray(problem.imu.idx_i)[0])
-            jj = int(_np.asarray(problem.imu.idx_j)[0])
-            tracking_shape = (bool(pfc[0]) and not bool(pfc[1])
-                              and bool(vfc[0]) and (ii, jj) == (0, 1))
-        except Exception:  # tracer (called under jit): trust tracking layout
-            tracking_shape = True
-        if tracking_shape:
+            try:
+                pfc = _np.asarray(problem.pose_fixed)
+                vfc = _np.asarray(problem.vel_fixed)
+                ii = int(_np.asarray(problem.imu.idx_i)[0])
+                jj = int(_np.asarray(problem.imu.idx_j)[0])
+                vi_tracking = (bool(pfc[0]) and not bool(pfc[1])
+                               and bool(vfc[0]) and (ii, jj) == (0, 1))
+            except (jax.errors.TracerArrayConversionError,
+                    jax.errors.ConcretizationTypeError):
+                # under jit the fix pattern is abstract: fall back to the
+                # general solver (correct for every layout) rather than
+                # guessing; jitted callers with the tracking layout should
+                # pass vi_tracking=True.
+                vi_tracking = False
+        if vi_tracking:
             return _pose_only_fast_vi_j(problem, intr, cfg,
                                         rounds=rounds, iters=iters)
     return _pose_only_general(problem, intr, cfg, rounds=rounds, iters=iters)
@@ -619,7 +638,7 @@ def imu_initialization(
     g_value: float,
     prior_bg,  # (3,) bias priors (frame 0's bias)
     prior_ba,
-    iterations: int = 20,
+    iterations: int = 200,  # the reference's budget (g2o_optimization.cc:1027)
     info_prior_gyr: float = 1e2,  # g2o_optimization.cc:973-988
     info_prior_acc: float = 1e5,
 ):

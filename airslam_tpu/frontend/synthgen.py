@@ -232,12 +232,87 @@ def render_from_shapes(key, shapes: Shapes, size: int = SIZE) -> Scene:
     )
 
 
-def render_scene(key, size: int = SIZE) -> Scene:
+# ---------------------------------------------------------------------------
+# Photometric augmentation — the training-side counterpart of AirSLAM's
+# headline claim ("illumination-robust point-line SLAM", README.md:1; the
+# dark-EuRoC pipeline configs/visual_odometry/vo_euroc_dark.yaml). Each view
+# of a training pair is augmented INDEPENDENTLY, so the detector/descriptor
+# must be invariant to strong brightness/gamma/contrast/vignette asymmetry
+# between matched views.
+# ---------------------------------------------------------------------------
+
+
+def photometric_augment(key, img, strength: float = 1.0):
+    """Random photometric transform of a [0, 1] grayscale image (jittable).
+
+    Composition (each sampled per call):
+    - global illumination scale: log-uniform brightness in [~0.22, ~1.5]×
+      (reaches the ~4× dark ratio of dark-EuRoC);
+    - gamma in [0.45, 2.2] (crushes shadows / blows highlights);
+    - contrast about the image mean;
+    - vignette: radial falloff with random center and strength (lens +
+      uneven lighting);
+    - linear illumination gradient (one-sided light source);
+    - sensor noise with a shot-noise term that GROWS as brightness falls
+      (low light = noisy), matching real low-light statistics.
+    """
+    ks = jax.random.split(key, 8)
+    h, w = img.shape[-2], img.shape[-1]
+    s = strength
+
+    # brightness (log-uniform) and gamma
+    log_b = jax.random.uniform(ks[0], (), minval=-1.5 * s, maxval=0.4 * s)
+    b = jnp.exp(log_b)
+    log_g = jax.random.uniform(ks[1], (), minval=-0.8 * s, maxval=0.8 * s)
+    gamma = jnp.exp(log_g)
+    # contrast in [1-0.5s, 1+0.5s]
+    c = 1.0 + jax.random.uniform(ks[2], (), minval=-0.5 * s, maxval=0.5 * s)
+
+    out = jnp.clip(img, 0.0, 1.0) ** gamma
+    mean = jnp.mean(out)
+    out = (out - mean) * c + mean
+    out = out * b
+
+    # vignette
+    py = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) / h
+    px = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) / w
+    cen = jax.random.uniform(ks[3], (2,), minval=0.3, maxval=0.7)
+    r2 = (px - cen[0]) ** 2 + (py - cen[1]) ** 2
+    v_str = jax.random.uniform(ks[4], (), minval=0.0, maxval=0.8 * s)
+    out = out * (1.0 - v_str * jnp.clip(r2 * 2.0, 0.0, 1.0))
+
+    # linear illumination gradient (asymmetric light)
+    gdir = jax.random.normal(ks[5], (2,))
+    gdir = gdir / (jnp.linalg.norm(gdir) + 1e-9)
+    g_str = jax.random.uniform(ks[6], (), minval=0.0, maxval=0.25 * s)
+    out = out + g_str * ((px - 0.5) * gdir[0] + (py - 0.5) * gdir[1])
+
+    # noise: read floor + shot noise rising as the scene darkens
+    sigma = 0.01 + 0.05 * s * jnp.clip(1.0 - b, 0.0, 1.0)
+    out = out + jax.random.normal(ks[7], (h, w)) * sigma
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def dark_transform(key, img, level: float = 0.25, gamma: float = 1.8,
+                   noise: float = 0.03):
+    """Deterministic-strength low-light degradation (for rendering dark
+    evaluation sequences — the dark-EuRoC stand-in): gamma crush to
+    ``level`` of the original brightness plus sensor noise."""
+    out = jnp.clip(img, 0.0, 1.0) ** gamma * level
+    out = out + jax.random.normal(key, img.shape) * noise
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def render_scene(key, size: int = SIZE, augment: float = 0.0) -> Scene:
     k1, k2 = jax.random.split(key)
-    return render_from_shapes(k2, sample_shapes(k1, size), size)
+    s = render_from_shapes(k2, sample_shapes(k1, size), size)
+    if augment > 0:
+        s = s._replace(image=photometric_augment(
+            jax.random.fold_in(key, 17), s.image, augment))
+    return s
 
 
-def render_pair_with_affine(key, size: int = SIZE):
+def render_pair_with_affine(key, size: int = SIZE, augment: float = 0.0):
     """:func:`render_pair` plus the ground-truth (A, t) map from view-0 to
     view-1 pixels (for detector-in-the-loop correspondence supervision)."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -245,14 +320,21 @@ def render_pair_with_affine(key, size: int = SIZE):
     A, t = random_affine(k2, size)
     s0 = render_from_shapes(k3, shapes, size)
     s1 = render_from_shapes(k4, warp_shapes(shapes, A, t), size)
+    if augment > 0:
+        # INDEPENDENT photometrics per view: the descriptors/matcher must
+        # bridge strong illumination asymmetry (dark-EuRoC training-side)
+        s0 = s0._replace(image=photometric_augment(
+            jax.random.fold_in(key, 18), s0.image, augment))
+        s1 = s1._replace(image=photometric_augment(
+            jax.random.fold_in(key, 19), s1.image, augment))
     return s0, s1, A, t
 
 
-def render_pair(key, size: int = SIZE):
+def render_pair(key, size: int = SIZE, augment: float = 0.0):
     """Two photometrically-independent renders of the same scene related by
     a known affine — corner i in view 0 corresponds to corner i in view 1
     (exact descriptor supervision)."""
-    s0, s1, _, _ = render_pair_with_affine(key, size)
+    s0, s1, _, _ = render_pair_with_affine(key, size, augment)
     return s0, s1
 
 
@@ -311,13 +393,40 @@ def make_world3d(key, n_seg: int = 48, n_blob: int = 320,
     return World3D(jnp.stack([a, b], axis=1), seg_shade, blobs, blob_shade)
 
 
+def _octave_noise(u, v, key, octaves: int = 5, amp: float = 1.0):
+    """Smooth quasi-random 1/f texture over 2D surface coordinates (u, v) —
+    natural-image-like power spectrum from summed directional sinusoids with
+    random orientation/phase per octave. Fully jittable, view-independent
+    (texture is a function of the SURFACE point, so multi-view photometric
+    consistency is exact)."""
+    out = jnp.zeros_like(u)
+    for k in range(octaves):
+        kk = jax.random.fold_in(key, k)
+        th = jax.random.uniform(kk, (3,), minval=0.0, maxval=6.28318)
+        f = (1.4 ** k) * 2.2
+        d = u * jnp.cos(th[0]) + v * jnp.sin(th[0])
+        e = u * jnp.cos(th[1] + 1.7) + v * jnp.sin(th[1] + 1.7)
+        out = out + (amp / (1.35 ** k)) * jnp.sin(f * d + th[2]) * jnp.cos(
+            0.73 * f * e + th[1])
+    return out
+
+
 def render_view3d(world: World3D, Rcw, tcw, fx, fy, cx, cy,
-                  height: int, width: int, key=None):
+                  height: int, width: int, key=None,
+                  texture: float = 0.0, texture_key=None,
+                  floor_y: float = 2.8, wall_z: float = 20.5):
     """Rasterize the world into one grayscale view (H, W) in [0, 1].
 
     Segments are clipped to z>0.2 and drawn as anti-aliased strokes; blobs as
     small gaussians. Fully jittable — a whole stereo sequence renders as one
-    device program."""
+    device program.
+
+    ``texture > 0`` adds 1/f procedural texture on two REAL 3D planes (floor
+    at y=``floor_y``, back wall at z=``wall_z``): each pixel's ray is
+    intersected with the planes and the texture sampled at the world-space
+    hit point — photometrically consistent and correctly parallax-shifted
+    across views (natural-image statistics for the CNN, and triangulable
+    texture detail for the SLAM chain)."""
     px = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1) + 0.5
     py = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0) + 0.5
 
@@ -327,9 +436,39 @@ def render_view3d(world: World3D, Rcw, tcw, fx, fy, cx, cy,
         return jnp.stack([fx * pc[..., 0] / z + cx, fy * pc[..., 1] / z + cy], -1), pc[..., 2]
 
     img = jnp.full((height, width), 0.55)
-    # static shading texture so views are photometrically consistent
-    u = (px / width * 8).astype(jnp.int32) + (py / height * 6).astype(jnp.int32)
-    img = img + 0.04 * jnp.cos(u.astype(jnp.float32) * 2.1)
+    if texture > 0.0:
+        tkey = texture_key if texture_key is not None else jax.random.PRNGKey(7)
+        # world-frame ray through each pixel and camera centre
+        dx = (px - cx) / fx
+        dy = (py - cy) / fy
+        d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], -1)  # (H, W, 3)
+        d_w = d_cam @ Rcw  # = Rcw^T applied per-pixel
+        C = -Rcw.T @ tcw  # camera centre (world)
+        eps = 1e-6
+        # floor plane y = floor_y (image-down is +y with the identity pose)
+        t_f = (floor_y - C[1]) / jnp.where(jnp.abs(d_w[..., 1]) < eps, eps, d_w[..., 1])
+        # back wall z = wall_z
+        t_wz = (wall_z - C[2]) / jnp.where(jnp.abs(d_w[..., 2]) < eps, eps, d_w[..., 2])
+        hits = []
+        for t_pl, uv_axes, kslot in ((t_f, (0, 2), 0), (t_wz, (0, 1), 1)):
+            ok = t_pl > 0.2
+            t_safe = jnp.where(ok, t_pl, 1e6)
+            hit = C[None, None, :] + t_safe[..., None] * d_w
+            tex = _octave_noise(hit[..., uv_axes[0]], hit[..., uv_axes[1]],
+                                jax.random.fold_in(tkey, kslot))
+            hits.append((t_safe, jnp.where(ok, tex, 0.0)))
+        # nearest plane wins
+        t0, tex0 = hits[0]
+        t1, tex1 = hits[1]
+        tex = jnp.where(t0 < t1, tex0, tex1)
+        t_near = jnp.minimum(t0, t1)
+        # gentle distance attenuation keeps far texture low-contrast
+        att = 1.0 / (1.0 + 0.05 * t_near)
+        img = img + texture * tex * att
+    else:
+        # legacy flat shading (kept for byte-identical pre-texture renders)
+        u = (px / width * 8).astype(jnp.int32) + (py / height * 6).astype(jnp.int32)
+        img = img + 0.04 * jnp.cos(u.astype(jnp.float32) * 2.1)
 
     p2a, za = proj(world.segments[:, 0])
     p2b, zb = proj(world.segments[:, 1])

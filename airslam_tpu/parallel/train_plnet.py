@@ -195,14 +195,18 @@ WEIGHTS = {
 }
 
 
-def make_plnet_train_step(plnet, loi, tx, with_desc: bool = True):
+def make_plnet_train_step(plnet, loi, tx, with_desc: bool = True,
+                          augment: float = 1.0):
     """Returns train_step(params, opt_state, key) -> (params, opt_state,
-    loss, metrics). Data is generated inside the step (device-resident)."""
+    loss, metrics). Data is generated inside the step (device-resident).
+    ``augment`` is the photometric-augmentation strength (brightness/gamma/
+    contrast/vignette/noise, independent per view) — the illumination-
+    robustness training knob; 0 disables."""
 
     def loss_fn(params, key):
         kd, kl = jax.random.split(key)
         if with_desc:
-            s0, s1 = synthgen.render_pair(kd)
+            s0, s1 = synthgen.render_pair(kd, augment=augment)
             imgs = jnp.stack([s0.image, s1.image])[..., None]
             out = plnet.apply(params["plnet"], imgs)
             out0 = jax.tree_util.tree_map(lambda t: t[0], out)
@@ -215,7 +219,7 @@ def make_plnet_train_step(plnet, loi, tx, with_desc: bool = True):
                 out0["descriptors"], out1["descriptors"], s0, s1
             )
         else:
-            s0 = synthgen.render_scene(kd)
+            s0 = synthgen.render_scene(kd, augment=augment)
             out0 = jax.tree_util.tree_map(
                 lambda t: t[0], plnet.apply(params["plnet"], s0.image[None, ..., None])
             )
@@ -241,7 +245,8 @@ def make_plnet_train_step(plnet, loi, tx, with_desc: bool = True):
     return train_step
 
 
-def make_superpoint_distill_step(sp, tx, plnet_apply, plnet_params):
+def make_superpoint_distill_step(sp, tx, plnet_apply, plnet_params,
+                                 augment: float = 1.0):
     """SuperPoint with its descriptor space DISTILLED onto the (frozen)
     trained PLNet stage-0: keypoint CE as usual, but descriptors at GT
     corners regress PLNet's (cosine). The reference pairs use_superpoint: 1
@@ -250,7 +255,7 @@ def make_superpoint_distill_step(sp, tx, plnet_apply, plnet_params):
     descriptor space — this is the training-side counterpart."""
 
     def loss_fn(params, key):
-        s0, s1 = synthgen.render_pair(key)
+        s0, s1 = synthgen.render_pair(key, augment=augment)
         imgs = jnp.stack([s0.image, s1.image])[..., None]
         out = sp.apply(params, imgs)
         ce = optax.softmax_cross_entropy_with_integer_labels(
@@ -287,11 +292,11 @@ def make_superpoint_distill_step(sp, tx, plnet_apply, plnet_params):
     return train_step
 
 
-def make_superpoint_train_step(sp, tx):
+def make_superpoint_train_step(sp, tx, augment: float = 1.0):
     """SuperPoint: keypoint CE + descriptor InfoNCE on affine pairs."""
 
     def loss_fn(params, key):
-        s0, s1 = synthgen.render_pair(key)
+        s0, s1 = synthgen.render_pair(key, augment=augment)
         imgs = jnp.stack([s0.image, s1.image])[..., None]
         out = sp.apply(params, imgs)
         ce = optax.softmax_cross_entropy_with_integer_labels(

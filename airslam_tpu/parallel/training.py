@@ -100,7 +100,8 @@ def _heat_at(heat: jax.Array, pts: jax.Array) -> jax.Array:
 
 
 def make_rendered_batch(plnet_apply, plnet_params, key, image_size: int = 512,
-                        norm_scale: float = 0.5, with_scores: bool = False):
+                        norm_scale: float = 0.5, with_scores: bool = False,
+                        augment: float = 1.0):
     """One training example from a rendered affine pair. Returns
     (kpts0n, d0, m0, kpts1n, d1, m1, matched_mask, only0, only1); token count
     is the static corner budget. With ``with_scores`` (SuperGlue's keypoint
@@ -111,7 +112,7 @@ def make_rendered_batch(plnet_apply, plnet_params, key, image_size: int = 512,
     from airslam_tpu.ops.gridsample import sample_descriptors
 
     kd, kj = jax.random.split(key)
-    s0, s1 = synthgen.render_pair(kd)
+    s0, s1 = synthgen.render_pair(kd, augment=augment)
     imgs = jnp.stack([s0.image, s1.image])[..., None]
     out = plnet_apply(plnet_params, imgs)
     # jitter sampling locations like a real (noisy) detector
@@ -149,11 +150,13 @@ def rendered_match_loss(model: LightGlue, params, batch):
     return jnp.mean(jax.vmap(one)(*batch))
 
 
-def make_rendered_train_step(model: LightGlue, tx, plnet_apply, plnet_params):
+def make_rendered_train_step(model: LightGlue, tx, plnet_apply, plnet_params,
+                             augment: float = 1.0):
     def train_step(state: TrainState, keys):
         def loss_fn(p):
             batch = jax.vmap(
-                lambda k: make_rendered_batch(plnet_apply, plnet_params, k)
+                lambda k: make_rendered_batch(plnet_apply, plnet_params, k,
+                                              augment=augment)
             )(keys)
             return rendered_match_loss(model, p, batch)
 
@@ -204,12 +207,14 @@ def rendered_match_loss_sg(model, params, batch):
     return jnp.mean(jax.vmap(one)(*batch))
 
 
-def make_rendered_train_step_sg(model, tx, plnet_apply, plnet_params):
+def make_rendered_train_step_sg(model, tx, plnet_apply, plnet_params,
+                                augment: float = 1.0):
     def train_step(state: TrainState, keys):
         def loss_fn(p):
             batch = jax.vmap(
                 lambda k: make_rendered_batch(
-                    plnet_apply, plnet_params, k, norm_scale=0.7, with_scores=True)
+                    plnet_apply, plnet_params, k, norm_scale=0.7,
+                    with_scores=True, augment=augment)
             )(keys)
             return rendered_match_loss_sg(model, p, batch)
 
@@ -232,7 +237,8 @@ def make_rendered_train_step_sg(model, tx, plnet_apply, plnet_params):
 
 def make_detected_batch(plnet_apply, plnet_params, key, k_tokens: int = 256,
                         image_size: int = 512, match_px: float = 3.0,
-                        norm_scale: float = 0.5, with_scores: bool = False):
+                        norm_scale: float = 0.5, with_scores: bool = False,
+                        augment: float = 1.0):
     """Returns (k0n, [s0,] d0, m0, k1n, [s1,] d1, m1, tgt, neg0, neg1):
     tgt[i] is the matching view-1 token index or −1; neg0/neg1 flag tokens
     that are DEFINITELY unmatched (no cross-view detection within
@@ -244,7 +250,7 @@ def make_detected_batch(plnet_apply, plnet_params, key, k_tokens: int = 256,
     from airslam_tpu.ops.detect import topk_keypoints
     from airslam_tpu.ops.gridsample import sample_descriptors
 
-    s0, s1, A, t = synthgen.render_pair_with_affine(key)
+    s0, s1, A, t = synthgen.render_pair_with_affine(key, augment=augment)
     imgs = jnp.stack([s0.image, s1.image])[..., None]
     out = plnet_apply(plnet_params, imgs)
     kp0 = topk_keypoints(out["scores"][0], 0.004, 4, k_tokens)
@@ -308,7 +314,8 @@ def detected_match_loss_sg(model, params, batch):
 
 
 def make_detected_train_step(model, tx, plnet_apply, plnet_params,
-                             superglue: bool = False, k_tokens: int = 256):
+                             superglue: bool = False, k_tokens: int = 256,
+                             augment: float = 1.0):
     loss = detected_match_loss_sg if superglue else detected_match_loss
     scale = 0.7 if superglue else 0.5
 
@@ -317,7 +324,7 @@ def make_detected_train_step(model, tx, plnet_apply, plnet_params,
             batch = jax.vmap(
                 lambda k: make_detected_batch(
                     plnet_apply, plnet_params, k, k_tokens=k_tokens,
-                    norm_scale=scale, with_scores=superglue)
+                    norm_scale=scale, with_scores=superglue, augment=augment)
             )(keys)
             return loss(model, p, batch)
 

@@ -507,8 +507,11 @@ class MapBuilder:
             imu=imu_factors,
             Rcb=jnp.asarray(Tcb[:3, :3]),
             tcb=jnp.asarray(Tcb[:3, 3]),
+            g_value=self.map.g_value,
         )
-        out, p_in, _, n_in = _w.pose_only_optimization(problem, self.map._intr, self.map.ba_config)
+        out, p_in, _, n_in = _w.pose_only_optimization(
+            problem, self.map._intr, self.map.ba_config,
+            vi_tracking=True if imu_factors is not None else None)
         n_in = int(n_in)
         if n_in > self.kf_config.lost_num_match:
             Twb_new = np.eye(4)

@@ -48,7 +48,7 @@ class Map:
         self._imu_init_frame: Optional[Frame] = None
         self.on_local_ba = None  # optional callback(frame) for observability
 
-        gn.set_gravity(getattr(camera, "g_value", 9.81))
+        self.g_value = float(getattr(camera, "g_value", 9.81))
         self._intr = camera.intrinsics(jnp.float64) if hasattr(camera, "intrinsics") else camera
 
     # ------------------------------------------------------------------
@@ -412,6 +412,7 @@ class Map:
             imu=self._imu_factors(frames) if self.imu_initialized else None,
             Rcb=jnp.asarray(Tcb[:3, :3]),
             tcb=jnp.asarray(Tcb[:3, 3]),
+            g_value=self.g_value,
         )
         return problem, (frame_index, p_real, l_real)
 
@@ -667,6 +668,7 @@ class Map:
             lobs_mask=jnp.asarray(lmask), lobs_sigma=jnp.asarray(lsig_arr),
             line_obs_table=jnp.asarray(ltable),
             Rcb=jnp.asarray(Tcb[:3, :3]), tcb=jnp.asarray(Tcb[:3, 3]),
+            g_value=self.g_value,
             **vi,
         )
         return prob, (frame_index, n_real, m_real)

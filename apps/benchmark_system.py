@@ -40,11 +40,14 @@ def traj_position(t, traj: str = "forward", total: float = None):
 
 def make_sequence(n_frames: int, height: int, width: int, seed: int = 0,
                   baseline: float = 0.11, stride: int = 1,
-                  traj: str = "forward"):
+                  traj: str = "forward", texture: float = 0.0,
+                  photometric: str = "none"):
     """Render a stereo sequence along an analytic trajectory.
     Returns (timestamps, lefts (T,H,W), rights, gt_Twc list). ``stride``
     subsamples the 20 Hz trajectory (stride 2 = 10 Hz frames) — same analytic
-    path, longer wall-clock span per rendered frame."""
+    path, longer wall-clock span per rendered frame. ``texture`` adds 1/f
+    plane texture (natural-image statistics); ``photometric='dark'`` applies
+    the gamma-crushed low-light transform per frame (dark-EuRoC stand-in)."""
     import jax
     import jax.numpy as jnp
 
@@ -55,6 +58,7 @@ def make_sequence(n_frames: int, height: int, width: int, seed: int = 0,
     fx, fy, cx, cy = (float(intr.fx), float(intr.fy), float(intr.cx), float(intr.cy))
 
     world = synthgen.make_world3d(jax.random.PRNGKey(seed))
+    tex_key = jax.random.PRNGKey(seed + 31)
     ts = np.arange(n_frames) * 0.05 * stride
     total = float(n_frames * 0.05 * stride)
     gt = []
@@ -66,11 +70,16 @@ def make_sequence(n_frames: int, height: int, width: int, seed: int = 0,
     @jax.jit
     def render_seq(Rcw_all, tcw_all, tcw_all_r, keys):
         def one(Rcw, tcw, tcw_r, k):
-            k1, k2 = jax.random.split(k)
+            k1, k2, k3, k4 = jax.random.split(k, 4)
             L = synthgen.render_view3d(world, Rcw, tcw, fx, fy, cx, cy,
-                                       height, width, k1)
+                                       height, width, k1,
+                                       texture=texture, texture_key=tex_key)
             R = synthgen.render_view3d(world, Rcw, tcw_r, fx, fy, cx, cy,
-                                       height, width, k2)
+                                       height, width, k2,
+                                       texture=texture, texture_key=tex_key)
+            if photometric == "dark":
+                L = synthgen.dark_transform(k3, L)
+                R = synthgen.dark_transform(k4, R)
             return L, R
 
         return jax.lax.map(lambda args: one(*args), (Rcw_all, tcw_all, tcw_all_r, keys))

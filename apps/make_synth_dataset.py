@@ -70,6 +70,14 @@ def main():
                          "(lateral offset 0.18-0.30 m, yaw 4-9°, pitch ±3° "
                          "off the mapped trajectory) into mav0/hard0/data "
                          "with TUM ground truth in mav0/hard0/gt_tum.txt")
+    ap.add_argument("--texture", type=float, default=0.0,
+                    help="1/f plane-texture amplitude (e.g. 0.1): textured "
+                         "floor/back-wall with exact multi-view consistency "
+                         "(natural-image statistics for the CNN)")
+    ap.add_argument("--photometric", choices=["none", "dark"], default="none",
+                    help="dark: gamma-crushed noisy low-light rendering "
+                         "(the dark-EuRoC stand-in; pair with "
+                         "configs/visual_odometry/vo_euroc_dark.yaml)")
     ap.add_argument("--device", default="cpu")
     args = ap.parse_args()
 
@@ -83,7 +91,9 @@ def main():
 
     ts, L, R, gt = make_sequence(args.frames, args.height, args.width,
                                  seed=args.seed, baseline=0.1,
-                                 stride=args.stride, traj=args.traj)
+                                 stride=args.stride, traj=args.traj,
+                                 texture=args.texture,
+                                 photometric=args.photometric)
     total = float(args.frames * 0.05 * args.stride)
 
     mav0 = os.path.join(args.out, args.seq, "mav0")
@@ -150,7 +160,11 @@ def main():
                 world, jnp.asarray(Rcw, jnp.float32), jnp.asarray(tcw, jnp.float32),
                 fx, fy, cx, cy, args.height, args.width,
                 jax.random.PRNGKey(1000 + k),
+                texture=args.texture,
+                texture_key=jax.random.PRNGKey(args.seed + 31),
             )
+            if args.photometric == "dark":
+                img = synthgen.dark_transform(jax.random.PRNGKey(2000 + k), img)
             ns = EPOCH + int(round(ts[i] * 1e9)) + 500_000  # off-grid stamp
             u8 = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
             cv2.imwrite(os.path.join(qdir, "data", f"{ns}.png"), u8)

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--log_every", type=int, default=50)
+    ap.add_argument("--augment", type=float, default=1.0,
+                    help="photometric augmentation strength (0 disables)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -73,9 +75,10 @@ def main():
     if args.tokens == "detected":
         step_fn = jax.jit(training.make_detected_train_step(
             model, tx, plnet.apply, plnet_params,
-            superglue=args.arch == "superglue"))
+            superglue=args.arch == "superglue", augment=args.augment))
     else:
-        step_fn = jax.jit(make_step(model, tx, plnet.apply, plnet_params))
+        step_fn = jax.jit(make_step(model, tx, plnet.apply, plnet_params,
+                                    augment=args.augment))
 
     key = jax.random.PRNGKey(args.seed + 7)
     t0 = time.time()

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="start from the existing checkpoint if present")
     ap.add_argument("--log_every", type=int, default=25)
+    ap.add_argument("--augment", type=float, default=1.0,
+                    help="photometric augmentation strength (0 disables)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -70,7 +72,8 @@ def main():
             k0, _ = jax.random.split(key)
             loi_init = wio.load_params(wio.checkpoint_path("plnet_s1.npz"))
             params = {"plnet": plnet.init(k0, dummy), "loi": loi_init}
-        step_fn = jax.jit(tp.make_plnet_train_step(plnet, loi, tx))
+        step_fn = jax.jit(tp.make_plnet_train_step(plnet, loi, tx,
+                                                   augment=args.augment))
     else:
         sp = SuperPoint()
         ckpt = os.path.join(out_dir, "superpoint.npz")
@@ -84,9 +87,11 @@ def main():
                 sys.exit("distillation needs the trained plnet_s0.npz")
             plnet = PLNet()
             step_fn = jax.jit(tp.make_superpoint_distill_step(
-                sp, tx, plnet.apply, wio.load_params(s0)["plnet"]))
+                sp, tx, plnet.apply, wio.load_params(s0)["plnet"],
+                augment=args.augment))
         else:
-            step_fn = jax.jit(tp.make_superpoint_train_step(sp, tx))
+            step_fn = jax.jit(tp.make_superpoint_train_step(
+                sp, tx, augment=args.augment))
 
     opt_state = tx.init(params)
 

@@ -179,7 +179,6 @@ def test_sparse_imu_refines_velocities_matches_dense():
     rng = np.random.RandomState(0)
     imu = _imu_factors_from_preints(preints)
     vel_noisy = seq["vel"][kf_idx] + rng.randn(f, 3) * 0.3
-    gn.set_gravity(G)
     cfg = gn.BAConfig(imu_info_scale=1.0)
     intr = default_intrinsics()
 
@@ -274,7 +273,6 @@ def test_sparse_vi_vision_plus_imu():
     pose_fixed = np.zeros(f, bool)
     pose_fixed[0] = True
 
-    gn.set_gravity(G)
     dummy = _empty_visual(f)
     sp = gba.SparseBAProblem(
         Rwb=jnp.asarray(Rwb0), twb=jnp.asarray(twb0),

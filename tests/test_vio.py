@@ -186,7 +186,6 @@ def test_local_ba_with_imu_factors():
         Rwg=jnp.eye(3), gravity_free=jnp.asarray(0.0), imu=imu,
         Rcb=jnp.eye(3), tcb=jnp.zeros(3),
     )
-    gn.set_gravity(G)
     out = gn.optimize(problem, default_intrinsics(), gn.BAConfig(imu_info_scale=1.0), 15, robust=False)
     err0 = np.abs(np.asarray(frames.vel) - seq["vel"][kf_idx]).max()
     err1 = np.abs(np.asarray(out.frames.vel) - seq["vel"][kf_idx]).max()
@@ -340,3 +339,118 @@ def test_pose_only_fast_vi_matches_general():
                                np.asarray(o2.frames.bg[1]), atol=1e-10)
     assert int(n1) == int(n2)
     assert (np.asarray(p1)[:, 1] == np.asarray(p2)[:, 1]).all()
+
+def _tiny_vi_problem(pose_fixed, vel_fixed, seed=3):
+    """Minimal F=2 + one-IMU-factor problem with an arbitrary fix pattern."""
+    rng = np.random.RandomState(seed)
+    K = 16
+    pts = rng.randn(K, 3) * 2 + [0, 0, 6]
+    obs = np.zeros((K, 2, 3))
+    obs[..., 2] = -1.0
+    mask = np.zeros((K, 2), bool)
+    from tests.synthetic import default_intrinsics
+    intr = default_intrinsics()
+    fx, fy, cx, cy = (float(intr.fx), float(intr.fy),
+                      float(intr.cx), float(intr.cy))
+    for col in (0, 1):
+        u = pts[:, 0] / pts[:, 2] * fx + cx + rng.randn(K) * 1.0
+        v = pts[:, 1] / pts[:, 2] * fy + cy + rng.randn(K) * 1.0
+        obs[:, col, 0], obs[:, col, 1] = u, v
+        mask[:, col] = True
+    imu = gn.IMUFactors(
+        idx_i=jnp.asarray([0], jnp.int32), idx_j=jnp.asarray([1], jnp.int32),
+        dR=jnp.asarray(np.eye(3)[None]), dV=jnp.asarray(rng.randn(1, 3) * 0.01),
+        dP=jnp.asarray(rng.randn(1, 3) * 0.02),
+        JRg=jnp.asarray(rng.randn(1, 3, 3) * 0.01),
+        JVg=jnp.asarray(rng.randn(1, 3, 3) * 0.01),
+        JVa=jnp.asarray(rng.randn(1, 3, 3) * 0.01),
+        JPg=jnp.asarray(rng.randn(1, 3, 3) * 0.01),
+        JPa=jnp.asarray(rng.randn(1, 3, 3) * 0.01),
+        bg_lin=jnp.zeros((1, 3)), ba_lin=jnp.zeros((1, 3)),
+        dT=jnp.asarray([0.25]), info=jnp.asarray(np.eye(9)[None] * 10.0),
+        info_walk=jnp.asarray(np.eye(6)[None] * 1e3),
+        mask=jnp.asarray([True]))
+    frames = gn.FrameStates(
+        Rwb=jnp.asarray(np.stack([np.eye(3), np.eye(3)])),
+        twb=jnp.asarray(rng.randn(2, 3) * 0.05),
+        vel=jnp.asarray(rng.randn(2, 3) * 0.1),
+        bg=jnp.zeros((2, 3)), ba=jnp.zeros((2, 3)))
+    return gn.BAProblem(
+        frames=frames, pose_fixed=jnp.asarray(pose_fixed),
+        vel_fixed=jnp.asarray(vel_fixed),
+        points=jnp.asarray(pts), point_fixed=jnp.ones(K, bool),
+        point_obs=jnp.asarray(obs), point_obs_mask=jnp.asarray(mask),
+        lines=jnp.asarray([[1.0, 0, 0, 0, 1.0, 0]]),
+        line_fixed=jnp.ones(1, bool),
+        line_obs=jnp.zeros((1, 2, 8)), line_obs_stereo=jnp.zeros((1, 2), bool),
+        line_obs_mask=jnp.zeros((1, 2), bool),
+        line_obs_sigma=jnp.full((1, 2), 0.5),
+        Rwg=jnp.eye(3), gravity_free=jnp.asarray(0.0), imu=imu,
+        Rcb=jnp.eye(3), tcb=jnp.zeros(3)), intr
+
+
+def test_pose_only_dispatch_jitted_non_tracking_routes_general():
+    """A jitted caller with a NON-tracking fix pattern (frame 1 fixed,
+    frame 0 free) must get the general solver's numerics — the VERDICT r2
+    weak-point was a tracer-trusted heuristic silently picking the 15x15
+    tracking solver for any F=2+IMU problem (windows.py:403)."""
+    import jax
+
+    prob, intr = _tiny_vi_problem(pose_fixed=[False, True],
+                                  vel_fixed=[False, True])
+
+    def run(p):
+        out, _, _, n = windows.pose_only_optimization(p, intr)
+        return out.frames.twb, out.frames.vel, n
+
+    twb_j, vel_j, n_j = jax.jit(run)(prob)
+    ref, _, _, n_ref = windows._pose_only_general(prob, intr)
+    np.testing.assert_allclose(np.asarray(twb_j), np.asarray(ref.frames.twb),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(vel_j), np.asarray(ref.frames.vel),
+                               atol=1e-8)
+    assert int(n_j) == int(n_ref)
+
+
+def test_pose_only_vi_tracking_flag():
+    """Explicit vi_tracking=True selects the fast 15x15 solver (identical to
+    the auto-detected concrete path), and raises on a non-VI-shaped problem."""
+    prob, intr = _tiny_vi_problem(pose_fixed=[True, False],
+                                  vel_fixed=[True, False])
+    o_auto, _, _, n_auto = windows.pose_only_optimization(prob, intr)
+    o_flag, _, _, n_flag = windows.pose_only_optimization(
+        prob, intr, vi_tracking=True)
+    np.testing.assert_allclose(np.asarray(o_auto.frames.twb),
+                               np.asarray(o_flag.frames.twb), atol=0)
+    assert int(n_auto) == int(n_flag)
+
+    # vi_tracking=False forces the general solver
+    o_gen, _, _, _ = windows.pose_only_optimization(
+        prob, intr, vi_tracking=False)
+    ref, _, _, _ = windows._pose_only_general(prob, intr)
+    np.testing.assert_allclose(np.asarray(o_gen.frames.twb),
+                               np.asarray(ref.frames.twb), atol=0)
+
+    no_imu = prob._replace(imu=None)
+    with pytest.raises(ValueError):
+        windows.pose_only_optimization(no_imu, intr, vi_tracking=True)
+
+
+def test_two_gravity_values_coexist():
+    """g is per-problem state (BAProblem.g_value), not a module global: two
+    problems with different g evaluated interleaved keep their own numerics
+    (VERDICT r2 weak #4 — gn.set_gravity corrupted coexisting Maps)."""
+    prob_earth, intr = _tiny_vi_problem(pose_fixed=[True, False],
+                                        vel_fixed=[True, False])
+    prob_moon = prob_earth._replace(g_value=1.62)
+    cfg = gn.BAConfig(imu_info_scale=1.0)
+    c_e1 = float(gn.total_cost(prob_earth, intr, cfg, robust=False))
+    c_m1 = float(gn.total_cost(prob_moon, intr, cfg, robust=False))
+    c_e2 = float(gn.total_cost(prob_earth, intr, cfg, robust=False))
+    assert c_e1 != c_m1  # gravity actually enters the IMU residual
+    assert c_e1 == c_e2  # evaluating the moon problem didn't corrupt earth
+    r_e, _ = gn.imu_residuals(prob_earth.frames, prob_earth.imu,
+                              prob_earth.Rwg, False, prob_earth.g_value)
+    r_m, _ = gn.imu_residuals(prob_moon.frames, prob_moon.imu,
+                              prob_moon.Rwg, False, prob_moon.g_value)
+    assert np.abs(np.asarray(r_e) - np.asarray(r_m)).max() > 1e-3
