@@ -518,9 +518,15 @@ def optimize(
     iterations: int,
     robust: bool = True,
     tau: float = 1e-5,
+    early_exit: float = 0.0,
 ) -> BAProblem:
     """Run ``iterations`` LM steps (g2o Levenberg strategy) and return the
-    updated problem. Jit-able; call under jax.jit for production."""
+    updated problem. Jit-able; call under jax.jit for production.
+
+    ``early_exit`` (static, opt-in — deviates from g2o's fixed schedule):
+    when > 0, stop once an accepted step improves the cost by less than
+    ``early_exit`` relative (lax.while_loop instead of the fixed-length
+    scan). 0.0 keeps exact reference-parity iteration counts."""
 
     cost0 = total_cost(problem, intr, cfg, robust)
     lam0 = tau * 100.0  # g2o: tau * max(diag(H)); diag ~O(1e2) for pixel terms
@@ -529,8 +535,7 @@ def optimize(
         frames, points, lines, Rwg = state
         return problem._replace(frames=frames, points=points, lines=lines, Rwg=Rwg)
 
-    def body(carry, _):
-        state, lam, nu, cost = carry
+    def step(state, lam, nu, cost):
         prob = with_state(state)
         dxf, dg, dp, dl = _assemble_and_solve(prob, intr, cfg, lam, robust)
         cand = apply_update(prob, dxf, dg, dp, dl)
@@ -545,9 +550,32 @@ def optimize(
         lam2 = jnp.where(accept, lam / 3.0, lam * nu)
         nu2 = jnp.where(accept, 2.0, nu * 2.0)
         cost2 = jnp.where(accept, new_cost, cost)
-        return (state2, lam2, nu2, cost2), new_cost
+        return state2, lam2, nu2, cost2, accept, new_cost
 
     state0 = (problem.frames, problem.points, problem.lines, problem.Rwg)
+
+    if early_exit > 0.0:
+        def cond(carry):
+            _, _, _, _, it, done = carry
+            return (it < iterations) & ~done
+
+        def wbody(carry):
+            state, lam, nu, cost, it, _ = carry
+            state2, lam2, nu2, cost2, accept, new_cost = step(state, lam, nu, cost)
+            converged = accept & (cost - new_cost < early_exit * jnp.maximum(cost, 1e-12))
+            return (state2, lam2, nu2, cost2, it + 1, converged)
+
+        state, *_ = jax.lax.while_loop(
+            cond, wbody, (state0, lam0, 2.0, cost0, jnp.asarray(0, jnp.int32),
+                          jnp.asarray(False)),
+        )
+        return with_state(state)
+
+    def body(carry, _):
+        state, lam, nu, cost = carry
+        state2, lam2, nu2, cost2, _, new_cost = step(state, lam, nu, cost)
+        return (state2, lam2, nu2, cost2), new_cost
+
     (state, _, _, _), _ = jax.lax.scan(
         body, (state0, lam0, 2.0, cost0), None, length=iterations
     )

@@ -29,17 +29,22 @@ from airslam_tpu.backend import residuals as res
 from airslam_tpu.core import lie
 
 
-@functools.partial(jax.jit, static_argnames=("iters1", "iters2"))
+@functools.partial(jax.jit, static_argnames=("iters1", "iters2", "early_exit"))
 def local_ba(
     problem: gn.BAProblem,
     intr,
     cfg: gn.BAConfig = gn.BAConfig(),
     iters1: int = 5,
     iters2: int = 15,
+    early_exit: float = 0.0,
 ):
     """Two-stage sliding-window BA with chi² gating. Returns
-    (problem, point_inlier (P, F), line_inlier (L, F))."""
-    problem = gn.optimize(problem, intr, cfg, iters1, robust=True)
+    (problem, point_inlier (P, F), line_inlier (L, F)).
+
+    ``early_exit`` > 0 (opt-in, static): terminate either LM stage when an
+    accepted step's relative improvement drops below it (see gn.optimize)."""
+    problem = gn.optimize(problem, intr, cfg, iters1, robust=True,
+                          early_exit=early_exit)
 
     # gate outliers (g2o_optimization.cc:350-385)
     pchi2, depth_ok = gn.point_chi2(problem, intr)
@@ -51,7 +56,8 @@ def local_ba(
     l_in = (lchi2 <= lthr) & problem.line_obs_mask
 
     gated = problem._replace(point_obs_mask=p_in, line_obs_mask=l_in)
-    gated = gn.optimize(gated, intr, cfg, iters2, robust=False)
+    gated = gn.optimize(gated, intr, cfg, iters2, robust=False,
+                        early_exit=early_exit)
 
     # final inlier flags (g2o_optimization.cc:389-407) on the original masks
     final = gated._replace(

@@ -123,6 +123,16 @@ def parse_publisher_config(node: dict) -> PublisherConfig:
     )
 
 
+def parse_early_exit(node: dict, which: str = "backend") -> float:
+    """Optional opt-in early-exit LM tolerance (``optimization.early_exit``
+    or ``optimization.<which>.early_exit``); 0.0 (absent in all reference
+    YAMLs) keeps the exact g2o iteration schedule."""
+    o = node.get("optimization", node.get("pose_estimation", {}))
+    if which in o:
+        o = o[which]
+    return float(o.get("early_exit", 0.0))
+
+
 @dataclasses.dataclass
 class VisualOdometryConfigs:
     detector: DetectorConfig
@@ -135,6 +145,7 @@ class VisualOdometryConfigs:
     dataroot: Optional[str] = None
     saving_dir: Optional[str] = None
     model_dir: Optional[str] = None
+    early_exit: float = 0.0
 
     @classmethod
     def load(cls, path: str, **overrides):
@@ -146,6 +157,7 @@ class VisualOdometryConfigs:
             tracking_optimization=parse_ba_config(node, "tracking"),
             backend_optimization=parse_ba_config(node, "backend"),
             publisher=parse_publisher_config(node),
+            early_exit=parse_early_exit(node, "backend"),
             **overrides,
         )
 

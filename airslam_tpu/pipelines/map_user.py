@@ -54,7 +54,8 @@ def junction_connections(junctions_xy, junc_mask, lines, line_mask, radius: floa
 class MapUser:
     def __init__(self, m: Map, detector, matcher, point_db: Database,
                  junction_db: Optional[Database], min_inlier_num: int = 45,
-                 pose_refinement: bool = False, match_threshold=None):
+                 pose_refinement: bool = False, match_threshold=None,
+                 projection_recovery: bool = True):
         self.map = m
         self.detector = detector
         self.matcher = matcher
@@ -63,6 +64,12 @@ class MapUser:
         self.min_inlier_num = min_inlier_num
         self.pose_refinement = pose_refinement
         self.match_threshold = match_threshold
+        # after a PnP pose, recover extra matches by projecting the loop
+        # group's mappoints into the query (SearchByProjection semantics,
+        # map.cc:945-998; the refiner's recovery through the loop group,
+        # map_refiner.cc:237-460) — widens the viewpoint envelope beyond
+        # what the direct LightGlue match budget reaches
+        self.projection_recovery = projection_recovery
         self._frame_counter = 10_000_000
         # precompute per-keyframe junction connections
         self._kf_junc_conns: Dict[int, list] = {}
@@ -177,6 +184,15 @@ class MapUser:
             ok, Twc, n_inliers = self._solve_pnp(frame, matched)
             if not ok:
                 continue
+
+            if self.projection_recovery:
+                extra = self._recover_matches(frame, Twc, loop_kf, matched)
+                if extra:
+                    matched.update(extra)
+                    ok2, Twc2, n2 = self._solve_pnp(frame, matched)
+                    if ok2 and n2 >= n_inliers:
+                        Twc, n_inliers = Twc2, n2
+
             frame.set_pose(Twc)
             last_Twc = Twc
 
@@ -237,6 +253,92 @@ class MapUser:
         line_match_num = int((pair_counts * Mi).sum())
         rate = line_match_num / match_num if match_num > 0 else 0.0
         return jscore * (1.0 + rate)
+
+    def _recover_matches(self, frame, Twc, loop_kf, matched,
+                         radius: float = 15.0, dist_thr: float = 0.35,
+                         ratio: float = 0.6):
+        """Project the loop group's mappoints through the PnP pose and claim
+        unmatched query keypoints near their projections. Descriptor gates
+        follow ``Map::SearchByProjection`` (map.cc:977-994): best 1−dot
+        distance < ``dist_thr`` AND < ``ratio``·second-best, radius 15 px.
+        Mappoint descriptors come from an observing keyframe's stored
+        features (mappoint descriptors are not serialized — mappoint.h:56-64).
+        Returns {query_kpt_idx: Mappoint} of NEW matches only."""
+        cam = self.map.camera
+        Rwc = Twc[:3, :3]
+        twc = Twc[:3, 3]
+
+        matched_tids = {id(m) for m in matched.values()}
+        cand_pos, cand_desc, cand_mpt = [], [], []
+        fids = [loop_kf.frame_id] + list(
+            self.map.covisible_frames(loop_kf.frame_id, min_shared=11))
+        seen = set()
+        for fid in fids:
+            kf = self.map.keyframes.get(fid)
+            if kf is None:
+                continue
+            for idx, tid in enumerate(kf.track_ids):
+                tid = int(tid)
+                if tid < 0 or tid in seen:
+                    continue
+                seen.add(tid)
+                mpt = self.map.mappoints.get(tid)
+                if mpt is None or not mpt.is_valid or id(mpt) in matched_tids:
+                    continue
+                desc = mpt.descriptor
+                if desc is None:
+                    desc = kf.kp_desc[idx]
+                cand_pos.append(mpt.position)
+                cand_desc.append(np.asarray(desc, np.float32))
+                cand_mpt.append(mpt)
+        if not cand_mpt:
+            return {}
+
+        pos = np.asarray(cand_pos)
+        descs = np.stack(cand_desc)
+        pc = (pos - twc) @ Rwc  # Rcw @ (pw − twc)
+        z = pc[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = pc[:, 0] / z * cam.fx + cam.cx
+            v = pc[:, 1] / z * cam.fy + cam.cy
+        w = getattr(cam, "image_width", getattr(cam, "width", 752))
+        h = getattr(cam, "image_height", getattr(cam, "height", 480))
+        vis = (z > 0.2) & (u > 0) & (u < w) & (v > 0) & (v < h)
+        if not vis.any():
+            return {}
+
+        free = [i for i in range(len(frame.keypoints))
+                if frame.kp_mask[i] and i not in matched]
+        if not free:
+            return {}
+        kp = np.asarray([frame.keypoints[i] for i in free])
+        kdesc = np.stack([np.asarray(frame.kp_desc[i], np.float32) for i in free])
+
+        uv = np.stack([u, v], -1)[vis]
+        mdesc = descs[vis]
+        mpts = [m for m, ok in zip(cand_mpt, vis) if ok]
+
+        d2 = ((uv[:, None, :] - kp[None, :, :]) ** 2).sum(-1)  # (M, Q)
+        within = d2 <= radius * radius
+        dist = 1.0 - mdesc @ kdesc.T  # (M, Q) DescriptorDistance (utils.cc:15)
+        dist = np.where(within, dist, 4.0)
+
+        order = np.argsort(dist, axis=1)
+        best_q = order[:, 0]
+        best = dist[np.arange(len(mpts)), best_q]
+        second = (dist[np.arange(len(mpts)), order[:, 1]]
+                  if dist.shape[1] > 1 else np.full(len(mpts), 4.0))
+        accept = (best < dist_thr) & (best < ratio * second)
+
+        out = {}
+        claimed = {}
+        for mi in np.nonzero(accept)[0]:
+            qi = free[int(best_q[mi])]
+            if qi in claimed and claimed[qi] <= best[mi]:
+                continue
+            claimed[qi] = best[mi]
+            out[qi] = mpts[mi]
+        return out
 
     def _solve_pnp(self, frame, matched):
         if cv2 is None or len(matched) < 8:

@@ -43,6 +43,9 @@ class Map:
         self.maplines: Dict[int, Mapline] = {}
         self.covisibility: Dict[int, Dict[int, int]] = {}
         self.ba_config = ba_config or gn.BAConfig()
+        # opt-in early-exit LM for local BA (YAML optimization.early_exit;
+        # 0.0 = reference-parity fixed iteration schedule)
+        self.ba_early_exit = 0.0
         self.imu_initialized = False
         self.Rwg = np.eye(3)
         self._imu_init_frame: Optional[Frame] = None
@@ -299,7 +302,8 @@ class Map:
         )
         if problem is None:
             return
-        out, p_in, l_in = windows.local_ba(problem, self._intr, self.ba_config)
+        out, p_in, l_in = windows.local_ba(problem, self._intr, self.ba_config,
+                                           early_exit=self.ba_early_exit)
         self._write_back(out, p_in, l_in, all_frames, pose_fixed, mpts, mpls, layout)
         if self.on_local_ba is not None:
             self.on_local_ba(new_frame)
@@ -544,12 +548,20 @@ class Map:
         self._write_back(out, p_in, l_in, frames, pose_fixed, mpts, mpls, layout)
 
     def _sparse_global_ba(self, frames, pose_fixed, mpts, mpls, iters1, iters2,
-                          max_obs: int = 16):
+                          max_obs: Optional[int] = None):
         """Map-scale GlobalBA on the sparse observation-list solver. When VI
         is initialized the keyframe preintegration chain joins the problem
         (15 dof/frame, gravity pinned — g2o_optimization.cc:1488-1959).
-        Points observed more than ``max_obs`` times keep their strongest
-        ``max_obs`` constraints in the Schur pairing (all obs still gate)."""
+
+        ``max_obs`` (None = auto): width of the per-landmark Schur pairing
+        table. Auto-selection uses the actual maximum observation count
+        (bucketed to multiples of 8, ceiling 64) so the pairing is EXACT for
+        typical maps — a fixed cap of 16 was measured to leave ~3e-2 pose
+        error on dense-coverage scenes (tests/test_global_ba.py::
+        test_schur_max_obs_cap_accuracy) because the truncated pairing is
+        inconsistent with the full-gradient landmark blocks. Landmarks past
+        the 64 ceiling keep their strongest 64 in the pairing (all obs still
+        contribute gradients and gate)."""
         from airslam_tpu.backend import global_ba as gba
 
         prob, layout = self._build_sparse_problem(frames, pose_fixed, mpts, mpls,
@@ -561,7 +573,8 @@ class Map:
         )
         self._write_back_sparse(out, p_in, l_in, frames, pose_fixed, mpts, mpls, layout)
 
-    def _build_sparse_problem(self, frames, pose_fixed, mpts, mpls, max_obs=16):
+    def _build_sparse_problem(self, frames, pose_fixed, mpts, mpls,
+                              max_obs: Optional[int] = None):
         from airslam_tpu.backend import global_ba as gba
 
         f = len(frames)
@@ -569,6 +582,14 @@ class Map:
         if p_real == 0 and l_real == 0:
             return None, None
         frame_index = {fr.frame_id: k for k, fr in enumerate(frames)}
+        if max_obs is None:
+            # exact Schur pairing: table wide enough for the best-covered
+            # landmark (bucketed to bound recompiles; 64 memory ceiling)
+            widest = 1
+            for lm in list(mpts) + list(mpls):
+                n = sum(1 for fid in lm.observers if fid in frame_index)
+                widest = max(widest, n)
+            max_obs = min(_bucket(widest, 8), 64)
 
         points = np.zeros((max(p_real, 1), 3))
         pobs_pidx, pobs_fidx, pobs = [], [], []

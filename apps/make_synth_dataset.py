@@ -70,6 +70,10 @@ def main():
                          "(lateral offset 0.18-0.30 m, yaw 4-9°, pitch ±3° "
                          "off the mapped trajectory) into mav0/hard0/data "
                          "with TUM ground truth in mav0/hard0/gt_tum.txt")
+    ap.add_argument("--hard_offset", type=float, default=0.24,
+                    help="hard-query mean lateral offset in m (sampled ±25%%)")
+    ap.add_argument("--hard_yaw", type=float, default=6.5,
+                    help="hard-query mean yaw in deg (sampled ±2.5)")
     ap.add_argument("--texture", type=float, default=0.0,
                     help="1/f plane-texture amplitude (e.g. 0.1): textured "
                          "floor/back-wall with exact multi-view consistency "
@@ -130,53 +134,74 @@ def main():
             f.write(f"{ns},{p[0]:.9f},{p[1]:.9f},{p[2]:.9f},1.0,0.0,0.0,0.0\n")
 
     if args.hard_queries > 0:
-        import jax
-        import jax.numpy as jnp
-        from scipy.spatial.transform import Rotation
-
-        from airslam_tpu.frontend import synthgen
-        from tests.synthetic import default_intrinsics
-
-        intr = default_intrinsics(jnp.float32)
-        fx, fy, cx, cy = (float(intr.fx), float(intr.fy),
-                          float(intr.cx), float(intr.cy))
-        world = synthgen.make_world3d(jax.random.PRNGKey(args.seed))
-        qdir = os.path.join(mav0, "hard0")
-        os.makedirs(os.path.join(qdir, "data"), exist_ok=True)
-        rng = np.random.RandomState(args.seed + 7)
-        idxs = np.linspace(2, args.frames - 3, args.hard_queries).astype(int)
-        rows = []
-        for k, i in enumerate(idxs):
-            dx = rng.uniform(0.18, 0.30) * (1.0 if k % 2 == 0 else -1.0)
-            dy = rng.uniform(-0.08, 0.08)
-            dz = rng.uniform(-0.10, 0.10)
-            yaw = np.deg2rad(rng.uniform(4.0, 9.0)) * (1.0 if k % 2 else -1.0)
-            pitch = np.deg2rad(rng.uniform(-3.0, 3.0))
-            Rwc = (Rotation.from_euler("y", yaw) * Rotation.from_euler("x", pitch)).as_matrix()
-            pos = gt[i][:3, 3] + np.array([dx, dy, dz])
-            Rcw = Rwc.T
-            tcw = -Rcw @ pos
-            img = synthgen.render_view3d(
-                world, jnp.asarray(Rcw, jnp.float32), jnp.asarray(tcw, jnp.float32),
-                fx, fy, cx, cy, args.height, args.width,
-                jax.random.PRNGKey(1000 + k),
-                texture=args.texture,
-                texture_key=jax.random.PRNGKey(args.seed + 31),
-            )
-            if args.photometric == "dark":
-                img = synthgen.dark_transform(jax.random.PRNGKey(2000 + k), img)
-            ns = EPOCH + int(round(ts[i] * 1e9)) + 500_000  # off-grid stamp
-            u8 = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
-            cv2.imwrite(os.path.join(qdir, "data", f"{ns}.png"), u8)
-            rows.append((ns, pos, Rwc))
-        with open(os.path.join(qdir, "gt_tum.txt"), "w") as f:
-            for ns, pos, Rwc in rows:
-                qx, qy, qz, qw = Rotation.from_matrix(Rwc).as_quat()
-                f.write(f"{ns * 1e-9:.9f} {pos[0]:.6f} {pos[1]:.6f} {pos[2]:.6f} "
-                        f"{qx:.9f} {qy:.9f} {qz:.9f} {qw:.9f}\n")
+        qdir = render_hard_queries(
+            mav0, args.seed, ts, gt, args.hard_queries, args.height,
+            args.width, offset=args.hard_offset, yaw_deg=args.hard_yaw,
+            texture=args.texture, photometric=args.photometric,
+        )
         print(f"wrote {args.hard_queries} hard relocalization queries to {qdir}")
 
     print(f"wrote {args.frames}-frame ASL sequence to {mav0}")
+
+
+def render_hard_queries(mav0, seed, ts, gt, n, height, width,
+                        offset: float = 0.24, yaw_deg: float = 6.5,
+                        subdir: str = "hard0", texture: float = 0.0,
+                        photometric: str = "none"):
+    """Render ``n`` novel-view relocalization queries off the mapped
+    trajectory into ``mav0/<subdir>/data`` with TUM ground truth.
+    Lateral offset is sampled in ±25% of ``offset`` (alternating sides),
+    yaw in ``yaw_deg`` ± 2.5° (alternating sign), pitch ±3° — the defaults
+    reproduce the original 0.18–0.30 m / 4–9° distribution; larger values
+    sweep the viewpoint envelope (scripts/measure_reloc_envelope.py)."""
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from airslam_tpu.frontend import synthgen
+    from tests.synthetic import default_intrinsics
+
+    EPOCH = 1_400_000_000_000_000_000
+    intr = default_intrinsics(jnp.float32)
+    fx, fy, cx, cy = (float(intr.fx), float(intr.fy),
+                      float(intr.cx), float(intr.cy))
+    world = synthgen.make_world3d(jax.random.PRNGKey(seed))
+    qdir = os.path.join(mav0, subdir)
+    os.makedirs(os.path.join(qdir, "data"), exist_ok=True)
+    rng = np.random.RandomState(seed + 7)
+    n_frames = len(gt)
+    idxs = np.linspace(2, n_frames - 3, n).astype(int)
+    rows = []
+    for k, i in enumerate(idxs):
+        dx = rng.uniform(0.75, 1.25) * offset * (1.0 if k % 2 == 0 else -1.0)
+        dy = rng.uniform(-0.08, 0.08)
+        dz = rng.uniform(-0.10, 0.10)
+        yaw = np.deg2rad(rng.uniform(yaw_deg - 2.5, yaw_deg + 2.5)) * (1.0 if k % 2 else -1.0)
+        pitch = np.deg2rad(rng.uniform(-3.0, 3.0))
+        Rwc = (Rotation.from_euler("y", yaw) * Rotation.from_euler("x", pitch)).as_matrix()
+        pos = gt[i][:3, 3] + np.array([dx, dy, dz])
+        Rcw = Rwc.T
+        tcw = -Rcw @ pos
+        img = synthgen.render_view3d(
+            world, jnp.asarray(Rcw, jnp.float32), jnp.asarray(tcw, jnp.float32),
+            fx, fy, cx, cy, height, width,
+            jax.random.PRNGKey(1000 + k),
+            texture=texture,
+            texture_key=jax.random.PRNGKey(seed + 31),
+        )
+        if photometric == "dark":
+            img = synthgen.dark_transform(jax.random.PRNGKey(2000 + k), img)
+        ns = EPOCH + int(round(ts[i] * 1e9)) + 500_000  # off-grid stamp
+        u8 = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(qdir, "data", f"{ns}.png"), u8)
+        rows.append((ns, pos, Rwc))
+    with open(os.path.join(qdir, "gt_tum.txt"), "w") as f:
+        for ns, pos, Rwc in rows:
+            qx, qy, qz, qw = Rotation.from_matrix(Rwc).as_quat()
+            f.write(f"{ns * 1e-9:.9f} {pos[0]:.6f} {pos[1]:.6f} {pos[2]:.6f} "
+                    f"{qx:.9f} {qy:.9f} {qz:.9f} {qw:.9f}\n")
+    return qdir
 
 
 if __name__ == "__main__":

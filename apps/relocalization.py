@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--model_dir", default=None)
     ap.add_argument("--query_stride", type=int, default=1,
                     help="relocalize every Nth query image")
+    ap.add_argument("--no_recovery", action="store_true",
+                    help="disable projection-guided match recovery after PnP "
+                         "(the round-2 baseline behavior)")
     from airslam_tpu.utils import device as device_util
 
     device_util.add_arg(ap)
@@ -81,7 +84,8 @@ def main():
     matcher = PointMatcher(cfg.matcher, params=mat_params)
     user = MapUser(m, detector, matcher, point_db, junction_db,
                    min_inlier_num=cfg.min_inlier_num,
-                   pose_refinement=cfg.pose_refinement)
+                   pose_refinement=cfg.pose_refinement,
+                   projection_recovery=not args.no_recovery)
 
     def stamp(name):
         try:

@@ -71,6 +71,7 @@ def main():
     matcher = PointMatcher(cfg.matcher, params=mat_params)
     builder = MapBuilder(camera, detector, matcher, cfg.keyframe,
                          cfg.backend_optimization, use_jax_pnp=args.jax_pnp)
+    builder.map.ba_early_exit = cfg.early_exit  # opt-in (0.0 = g2o schedule)
 
     dataset = Dataset(args.dataroot, use_imu=camera.use_imu)
     n = len(dataset) if args.max_frames <= 0 else min(len(dataset), args.max_frames)

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Measure the relocalization viewpoint envelope on the 80-keyframe loop map.
+
+Builds the 160-frame loop dataset once, runs VO + refinement once, then
+renders hard-query sets at increasing viewpoint gaps (lateral offset / yaw)
+and runs the relocalization CLI against each — printing recall per point.
+
+Round-2 baseline (400-kpt map, no projection recovery): 10/10 @ 0.45 m/12°,
+6/10 @ 0.70 m/18°, 0/10 @ 1.0 m/25°. Round-3 levers: projection-guided match
+recovery after PnP (pipelines/map_user.py) and an optional higher map-side
+keypoint budget (--map_kpts).
+
+Usage:
+  python scripts/measure_reloc_envelope.py --work /tmp/envelope [--map_kpts 800]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+POINTS = [(0.45, 12.0), (0.70, 18.0), (1.00, 25.0)]
+
+
+def run(cmd):
+    r = subprocess.run([sys.executable] + cmd, cwd=REPO, capture_output=True,
+                       text=True, timeout=3600)
+    if r.returncode != 0:
+        raise RuntimeError(f"{' '.join(cmd)}\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+    return r.stdout
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--work", required=True)
+    ap.add_argument("--frames", type=int, default=160)
+    ap.add_argument("--queries", type=int, default=10)
+    ap.add_argument("--map_kpts", type=int, default=0,
+                    help="override the map-side max_keypoints (0 = config)")
+    ap.add_argument("--no_recovery", action="store_true",
+                    help="disable projection-guided recovery (baseline)")
+    args = ap.parse_args()
+
+    os.makedirs(args.work, exist_ok=True)
+    dsroot = os.path.join(args.work, "ds")
+    mav0 = os.path.join(dsroot, "SYNTH_01", "mav0")
+    vo_out = os.path.join(args.work, "out")
+
+    if not os.path.exists(os.path.join(mav0, "cam0", "data")):
+        print("rendering dataset ...", flush=True)
+        run(["apps/make_synth_dataset.py", "--out", dsroot,
+             "--frames", str(args.frames), "--stride", "2", "--traj", "loop"])
+
+    vo_cfg = "configs/visual_odometry/vo_euroc.yaml"
+    if args.map_kpts:
+        import yaml
+
+        with open(os.path.join(REPO, vo_cfg)) as f:
+            node = yaml.safe_load(f)
+        node["plnet"]["max_keypoints"] = int(args.map_kpts)
+        vo_cfg_abs = os.path.join(args.work, f"vo_{args.map_kpts}.yaml")
+        with open(vo_cfg_abs, "w") as f:
+            yaml.safe_dump(node, f)
+        vo_cfg = vo_cfg_abs
+
+    if not os.path.exists(os.path.join(vo_out, "AirSLAM_mapv1.bin")):
+        os.makedirs(vo_out, exist_ok=True)
+        print("running visual_odometry ...", flush=True)
+        run(["apps/visual_odometry.py", "--config_path", vo_cfg,
+             "--camera_config_path", "configs/camera/synth_stereo.yaml",
+             "--dataroot", mav0, "--saving_dir", vo_out, "--device", "cpu"])
+        print("running map_refinement ...", flush=True)
+        run(["apps/map_refinement.py",
+             "--config_path", "configs/map_refinement/mr_euroc.yaml",
+             "--map_root", vo_out, "--device", "cpu"])
+
+    # render + evaluate each envelope point
+    from apps.make_synth_dataset import render_hard_queries
+    from apps.benchmark_system import traj_position
+
+    ts = np.arange(args.frames) * 0.05 * 2
+    total = float(args.frames * 0.05 * 2)
+    gt = []
+    for k in range(args.frames):
+        T = np.eye(4)
+        T[:3, 3] = traj_position(ts[k], "loop", total)
+        gt.append(T)
+
+    results = {}
+    for off, yaw in POINTS:
+        sub = f"hard_{int(off * 100)}_{int(yaw)}"
+        if not os.path.exists(os.path.join(mav0, sub, "data")):
+            render_hard_queries(mav0, 0, ts, gt, args.queries, 480, 752,
+                                offset=off, yaw_deg=yaw, subdir=sub)
+        traj = os.path.join(vo_out, f"reloc_{sub}.txt")
+        cmd = ["apps/relocalization.py",
+               "--config_path", "configs/relocalization/reloc_euroc.yaml",
+               "--map_root", vo_out,
+               "--query_folder", os.path.join(mav0, sub, "data"),
+               "--traj_path", traj, "--device", "cpu"]
+        if args.no_recovery:
+            cmd.append("--no_recovery")
+        out = run(cmd)
+        line = [l for l in out.splitlines() if l.startswith("recall:")][-1]
+        results[(off, yaw)] = line
+        print(f"{off:.2f} m / {yaw:.0f} deg -> {line}", flush=True)
+
+    print("\nenvelope:")
+    for (off, yaw), line in results.items():
+        print(f"  {off:.2f} m / {yaw:.0f} deg : {line}")
+
+
+if __name__ == "__main__":
+    main()

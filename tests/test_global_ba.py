@@ -13,38 +13,8 @@ from tests.synthetic import make_point_scene, build_problem
 
 
 def _dense_to_sparse(prob: gn.BAProblem, max_obs=16, dtype=jnp.float64):
-    """Convert a dense-grid BAProblem (points only) to the obs-list form."""
-    obs = np.asarray(prob.point_obs)
-    mask = np.asarray(prob.point_obs_mask)
-    P, F = mask.shape
-    pidx, fidx, rows = [], [], []
-    for p in range(P):
-        for f in range(F):
-            if mask[p, f]:
-                pidx.append(p)
-                fidx.append(f)
-                rows.append(obs[p, f])
-    n = len(rows)
-    ppidx = np.asarray(pidx, np.int32)
-    pfidx = np.asarray(fidx, np.int32)
-    pobs = np.asarray(rows)
-    pmask = np.ones(n, bool)
-    table = gba.build_obs_table(P, ppidx, pmask, n, max_obs)
-    L = prob.lines.shape[0]
-    return gba.SparseBAProblem(
-        Rwb=prob.frames.Rwb.astype(dtype), twb=prob.frames.twb.astype(dtype),
-        pose_fixed=prob.pose_fixed,
-        points=prob.points.astype(dtype),
-        pobs_pidx=jnp.asarray(ppidx), pobs_fidx=jnp.asarray(pfidx),
-        pobs=jnp.asarray(pobs, dtype), pobs_mask=jnp.asarray(pmask),
-        point_obs_table=jnp.asarray(table),
-        lines=prob.lines.astype(dtype),
-        lobs_lidx=jnp.zeros(1, jnp.int32), lobs_fidx=jnp.zeros(1, jnp.int32),
-        lobs=jnp.zeros((1, 8), dtype), lobs_stereo=jnp.zeros(1, bool),
-        lobs_mask=jnp.zeros(1, bool), lobs_sigma=jnp.full((1,), 0.001, dtype),
-        line_obs_table=jnp.full((L, 1), 1, jnp.int32),
-        Rcb=prob.Rcb.astype(dtype), tcb=prob.tcb.astype(dtype),
-    )
+    """Library conversion (backend.global_ba.dense_to_sparse)."""
+    return gba.dense_to_sparse(prob, max_obs=max_obs, dtype=dtype)
 
 
 def test_sparse_matches_dense():
@@ -368,3 +338,88 @@ def test_map_scale_1000kf_100kpts():
     # (max error can persist at weakly-observed chain-end frames)
     assert cost1 < cost0 * 1e-3, (cost0, cost1)
     assert err1 < err0 * 0.5, (err0, err1)
+
+def test_schur_max_obs_cap_accuracy():
+    """Quantify the Schur pairing cap (map.py keeps the strongest max_obs=16
+    observations per landmark in the reduced-camera pairing; all observations
+    still gate/contribute gradients). On a dense-coverage scene where every
+    point is seen by ~20 frames, compare final pose error at caps 8/16/32
+    against the exact dense solver — the cap is an approximation of the
+    CURVATURE only, so accuracy should remain within a small factor."""
+    rng = np.random.RandomState(3)
+    F, P = 20, 64
+    scene = make_point_scene(f=F, p=P, rng=rng, point_range=((-4, 4), (-2.5, 2.5), (6, 18)))
+    from scipy.spatial.transform import Rotation
+    Rp = scene["Rwb"].copy()
+    tp = scene["twb"].copy()
+    for i in range(1, F):
+        Rp[i] = Rp[i] @ Rotation.from_rotvec(rng.randn(3) * 0.01).as_matrix()
+        tp[i] = tp[i] + rng.randn(3) * 0.03
+    pts0 = scene["points"] + rng.randn(P, 3) * 0.05
+    prob = build_problem(scene, Rwb=Rp, twb=tp, points=pts0)
+
+    # enough coverage that the cap actually bites
+    n_obs = np.asarray(prob.point_obs_mask).sum(axis=1)
+    assert n_obs.max() > 16, f"scene too sparse for the cap test: {n_obs.max()}"
+
+    dense_out, _, _ = windows.local_ba(prob, scene["intr"], iters1=4, iters2=8)
+    err_dense = np.abs(np.asarray(dense_out.frames.twb) - scene["twb"]).max()
+
+    errs = {}
+    for cap in (8, 16, 32):
+        sp = _dense_to_sparse(prob, max_obs=cap)
+        out, _, _ = gba.global_ba(sp, scene["intr"], gn.BAConfig(),
+                                  iters1=4, iters2=8, chunk=32)
+        errs[cap] = np.abs(np.asarray(out.twb) - scene["twb"]).max()
+    print(f"max-pose-error vs GT: dense={err_dense:.2e} " +
+          " ".join(f"cap{c}={e:.2e}" for c, e in errs.items()))
+
+    # MEASURED (this is the VERDICT-r2 quantification): truncated pairing is
+    # inconsistent with the full-gradient landmark blocks — cap 8/16 leave
+    # O(3e-2) pose error here, while a cap >= actual coverage is exact.
+    # Map._build_sparse_problem therefore AUTO-SELECTS the table width.
+    assert errs[32] < max(10.0 * err_dense, 1e-8), errs[32]
+    # truncated caps still converge to the scene scale (bounded degradation)
+    for cap, e in errs.items():
+        assert e < 0.1, (cap, e)
+
+    # the auto-selection picks a width covering the best-observed landmark
+    from airslam_tpu.slam.map import _bucket
+    auto = min(_bucket(int(n_obs.max()), 8), 64)
+    assert auto >= n_obs.max()
+    sp = _dense_to_sparse(prob, max_obs=auto)
+    out, _, _ = gba.global_ba(sp, scene["intr"], gn.BAConfig(),
+                              iters1=4, iters2=8, chunk=32)
+    assert np.abs(np.asarray(out.twb) - scene["twb"]).max() < max(
+        10.0 * err_dense, 1e-8)
+
+
+def test_early_exit_lm_parity_and_convergence():
+    """Opt-in early-exit LM (VERDICT r3 item 10): default (0.0) is the exact
+    fixed schedule; early_exit>0 reaches the same solution on a
+    well-conditioned window while terminating early."""
+    rng = np.random.RandomState(4)
+    scene = make_point_scene(f=5, p=60, rng=rng)
+    from scipy.spatial.transform import Rotation
+    Rp = scene["Rwb"].copy()
+    tp = scene["twb"].copy()
+    for i in range(1, 5):
+        Rp[i] = Rp[i] @ Rotation.from_rotvec(rng.randn(3) * 0.02).as_matrix()
+        tp[i] = tp[i] + rng.randn(3) * 0.05
+    prob = build_problem(scene, Rwb=Rp, twb=tp,
+                         points=scene["points"] + rng.randn(60, 3) * 0.05)
+
+    full, _, _ = windows.local_ba(prob, scene["intr"], iters1=5, iters2=15)
+    fast, _, _ = windows.local_ba(prob, scene["intr"], iters1=5, iters2=15,
+                                  early_exit=1e-8)
+    # both converge to ground truth
+    assert np.abs(np.asarray(full.frames.twb) - scene["twb"]).max() < 1e-3
+    assert np.abs(np.asarray(fast.frames.twb) - scene["twb"]).max() < 1e-3
+    # and to each other (the tolerance only trims converged iterations)
+    np.testing.assert_allclose(np.asarray(fast.frames.twb),
+                               np.asarray(full.frames.twb), atol=1e-5)
+
+    # config plumbing: absent key -> 0.0; present -> parsed
+    from airslam_tpu.io.config import parse_early_exit
+    assert parse_early_exit({"optimization": {"backend": {}}}) == 0.0
+    assert parse_early_exit({"optimization": {"backend": {"early_exit": 1e-4}}}) == 1e-4

@@ -124,3 +124,43 @@ def test_relocalization_with_junction_rerank(junction_map):
     q_conns = junction_connections(q.junctions, q.junc_mask, q.lines, q.line_mask)
     s = user._junction_score(kf_id, jvec, jwids, q_conns)
     assert s > 0.5  # identical junctions → L1 score ≈ 1, rate boosts above it
+
+def test_projection_match_recovery(junction_map):
+    """Projection-guided recovery (SearchByProjection semantics,
+    map.cc:945-998) claims unmatched query keypoints from the loop group's
+    mappoints once a PnP pose exists — the reloc-envelope widener."""
+    builder, refiner, _, _, _ = junction_map
+    m = refiner.map
+    user = MapUser(m, detector=None, matcher=FakeMatcher(),
+                   point_db=refiner.database,
+                   junction_db=refiner.junction_database)
+
+    kf_id = m.keyframe_ids[2]
+    kf = m.keyframes[kf_id]
+    feats = FrameFeatures(
+        keypoints=kf.keypoints, kp_scores=kf.kp_scores, kp_desc=kf.kp_desc,
+        kp_mask=kf.kp_mask, lines=kf.lines, line_scores=kf.line_scores,
+        line_mask=kf.line_mask, junctions=kf.junctions,
+        junc_scores=kf.junc_scores, junc_desc=kf.junc_desc, junc_mask=kf.junc_mask,
+    )
+    q = Frame(888888, 0.0, feats, m.camera)
+
+    # no prior matches; the ground-truth pose alone must recover many
+    rec = user._recover_matches(q, kf.Twc, kf, matched={})
+    assert len(rec) >= 10, f"recovered only {len(rec)}"
+    # every recovered match is geometrically correct: the mappoint reprojects
+    # within the search radius of the claimed keypoint
+    Rcw = kf.Twc[:3, :3].T
+    tcw = -Rcw @ kf.Twc[:3, 3]
+    cam = m.camera
+    for qi, mpt in rec.items():
+        pc = Rcw @ mpt.position + tcw
+        u = pc[0] / pc[2] * cam.fx + cam.cx
+        v = pc[1] / pc[2] * cam.fy + cam.cy
+        assert np.hypot(*(np.asarray([u, v]) - q.keypoints[qi])) <= 15.0
+
+    # already-matched mappoints are not re-claimed
+    some = dict(list(rec.items())[:5])
+    rec2 = user._recover_matches(q, kf.Twc, kf, matched=some)
+    claimed_ids = {id(mp) for mp in some.values()}
+    assert all(id(mp) not in claimed_ids for mp in rec2.values())

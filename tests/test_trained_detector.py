@@ -224,3 +224,82 @@ def test_trained_superpoint_corners():
     gt = np.asarray(s.corners)[np.asarray(s.corner_mask)]
     d = np.linalg.norm(gt[:, None] - kp[None], axis=-1).min(axis=1)
     assert (d < 3.0).mean() > 0.7
+
+def test_illumination_repeatability(detector):
+    """Detector repeatability across a 4x brightness ratio (the dark-EuRoC
+    condition): the same scene rendered bright and gamma-crushed dark must
+    yield >=60% repeated keypoints (3 px) and cross-matching descriptors.
+    This is the training-side gate for the photometric augmentation
+    (synthgen.photometric_augment)."""
+    import jax
+    import jax.numpy as jnp
+
+    from airslam_tpu.frontend import synthgen
+
+    reps, mutuals = [], []
+    for seed in (11, 29):
+        s = jax.jit(synthgen.render_scene)(jax.random.PRNGKey(seed))
+        img = np.asarray(s.image)
+        dark = np.asarray(synthgen.dark_transform(
+            jax.random.PRNGKey(seed + 1), jnp.asarray(img), level=0.25))
+        assert dark.mean() < img.mean() / 3.5  # genuinely ~4x darker
+
+        fb = _single(detector.detect(img[None], detect_junctions=False))
+        fd = _single(detector.detect(dark[None], detect_junctions=False))
+        kb = fb.keypoints[fb.kp_mask]
+        kd = fd.keypoints[fd.kp_mask]
+        assert len(kd) >= 50, f"only {len(kd)} keypoints in the dark render"
+        d = np.linalg.norm(kb[:, None] - kd[None], axis=-1).min(axis=1)
+        reps.append((d < 3.0).mean())
+
+        # descriptor bridge: mutual nearest neighbors across the brightness
+        # gap must be geometrically consistent (identity geometry here)
+        db = fb.kp_desc[fb.kp_mask]
+        dd = fd.kp_desc[fd.kp_mask]
+        sim = db @ dd.T
+        fwd = sim.argmax(1)
+        bwd = sim.argmax(0)
+        good = 0
+        tot = 0
+        for i in range(len(kb)):
+            j = fwd[i]
+            if bwd[j] != i:
+                continue
+            tot += 1
+            if np.linalg.norm(kb[i] - kd[j]) < 3.0:
+                good += 1
+        mutuals.append(good / max(tot, 1))
+    assert np.mean(reps) > 0.6, f"bright->dark repeatability {reps}"
+    assert np.mean(mutuals) > 0.8, f"cross-illumination match precision {mutuals}"
+
+
+def test_real_photo_detections(detector):
+    """Natural-image smoke gate (container has no EuRoC): the trained
+    detector must produce plentiful, spatially-spread, non-degenerate
+    detections on real photographs (data/photos/, license-free), stable
+    under a brightness change."""
+    import cv2
+
+    photo_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "photos")
+    photos = [f for f in sorted(os.listdir(photo_dir)) if f.endswith(".jpg")]
+    assert len(photos) >= 3
+    for name in photos:
+        img = cv2.imread(os.path.join(photo_dir, name), cv2.IMREAD_GRAYSCALE)
+        img = img.astype(np.float32) / 255.0
+        f = _single(detector.detect(img[None], detect_junctions=True))
+        kp = f.keypoints[f.kp_mask]
+        assert len(kp) >= 100, f"{name}: only {len(kp)} keypoints"
+        # spread across the frame, not collapsed onto one structure
+        assert kp[:, 0].std() > img.shape[1] * 0.1, name
+        assert kp[:, 1].std() > img.shape[0] * 0.1, name
+        # descriptors are non-degenerate (not all pointing one way)
+        d = f.kp_desc[f.kp_mask]
+        off = (d @ d.T)[~np.eye(len(d), dtype=bool)]
+        assert off.mean() < 0.9, f"{name}: descriptor collapse {off.mean():.3f}"
+
+        # stability under a 0.7x brightness change: most keypoints repeat
+        f2 = _single(detector.detect((img * 0.7)[None], detect_junctions=True))
+        kp2 = f2.keypoints[f2.kp_mask]
+        dmin = np.linalg.norm(kp[:, None] - kp2[None], axis=-1).min(axis=1)
+        assert (dmin < 3.0).mean() > 0.5, f"{name}: {(dmin < 3.0).mean():.2f}"
