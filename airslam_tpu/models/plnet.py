@@ -366,12 +366,21 @@ def _onnx_bilerp(fmap: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
           + (colh == y1[:, None]) * (y - y0f)[:, None]).astype(fmap.dtype)
     # f32 maps (tests/CPU) keep the exact f32 contract; bf16 maps (TPU
     # frontend) take the native bf16 MXU pass with f32 accumulation
-    prec = (jax.lax.Precision.HIGHEST if fmap.dtype == jnp.float32
-            else jax.lax.Precision.DEFAULT)
-    rows = jnp.einsum("nh,hwc->nwc", Wy, fmap, precision=prec,
-                      preferred_element_type=jnp.float32)  # (N, W, C)
-    out = jnp.einsum("nwc,nw->nc", rows.astype(fmap.dtype), Wx, precision=prec,
-                     preferred_element_type=jnp.float32)  # (N, C)
+    if fmap.dtype == jnp.float32:
+        prec = jax.lax.Precision.HIGHEST
+        rows = jnp.einsum("nh,hwc->nwc", Wy, fmap, precision=prec,
+                          preferred_element_type=jnp.float32)  # (N, W, C)
+        out = jnp.einsum("nwc,nw->nc", rows, Wx, precision=prec,
+                         preferred_element_type=jnp.float32)  # (N, C)
+    else:
+        # keep the (N, W, C) intermediate in bf16 — it is the LOI head's
+        # largest HBM tenant (L·30 samples × W=128 × C: ~31 MB/view at f32
+        # for each of thin/aux); the row sum has ≤2 nonzero terms, so bf16
+        # output rounding is a final-rounding error only. The second
+        # contraction still accumulates in f32.
+        rows = jnp.einsum("nh,hwc->nwc", Wy, fmap)  # (N, W, C) bf16
+        out = jnp.einsum("nwc,nw->nc", rows, Wx,
+                         preferred_element_type=jnp.float32)  # (N, C)
     return out.reshape(shape + (fmap.shape[-1],))
 
 
