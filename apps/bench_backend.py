@@ -39,25 +39,36 @@ err_t = np.abs(np.asarray(out32.frames.twb) - scene["twb"]).max()
 print(f"f32 local BA on {jax.default_backend()}: pose err vs GT = {err_t:.2e} m, inliers {int(np.asarray(p_in).sum())}/{int(np.asarray(prob32.point_obs_mask).sum())}")
 
 # timing: in-graph scan, differenced
-def make_run(T):
+def make_run(T, early_exit=0.0):
     @jax.jit
     def run(prob, seed):
         def body(c, _):
             p2 = prob._replace(point_obs=prob.point_obs + c*1e-12)
-            out, pi, li = windows.local_ba(p2, intr32)
+            out, pi, li = windows.local_ba(p2, intr32, early_exit=early_exit)
             return (jnp.sum(out.frames.twb)*1e-9).astype(jnp.float32), None
         c, _ = jax.lax.scan(body, seed, None, length=T)
         return c
     return run
-res = {}
-for T in (2, 16):
-    run = make_run(T)
-    c = run(prob32, jnp.asarray(0.0, jnp.float32)); _ = float(np.asarray(c))
-    ts = []
-    for r in range(3):
-        t0=time.perf_counter()
-        c = run(prob32, jnp.asarray(1e-6*(r+1), jnp.float32)); _ = float(np.asarray(c))
-        ts.append(time.perf_counter()-t0)
-    res[T] = min(ts)
-dt = (res[16]-res[2])/14
+
+def timed(early_exit=0.0):
+    res = {}
+    for T in (2, 16):
+        run = make_run(T, early_exit)
+        c = run(prob32, jnp.asarray(0.0, jnp.float32)); _ = float(np.asarray(c))
+        ts = []
+        for r in range(3):
+            t0=time.perf_counter()
+            c = run(prob32, jnp.asarray(1e-6*(r+1), jnp.float32)); _ = float(np.asarray(c))
+            ts.append(time.perf_counter()-t0)
+        res[T] = min(ts)
+    return (res[16]-res[2])/14
+
+dt = timed()
 print(f"local BA window (F=15 pad, P=256, 5+15 LM iters): {dt*1e3:.2f} ms")
+
+# opt-in early-exit LM (optimization.early_exit): equal accuracy, fewer iters
+out_ee, _, _ = windows.local_ba(prob32, intr32, early_exit=1e-6)
+err_ee = np.abs(np.asarray(out_ee.frames.twb) - scene["twb"]).max()
+dt_ee = timed(early_exit=1e-6)
+print(f"local BA early_exit=1e-6: {dt_ee*1e3:.2f} ms ({dt/max(dt_ee,1e-12):.2f}x), "
+      f"pose err {err_ee:.2e} m (full schedule: {err_t:.2e})")

@@ -67,7 +67,8 @@ def build_full_step(vi: bool = False):
         """kf: (desc (K,256), nk (K,2), mask (K,)) of the last keyframe;
         landmarks: (K, 3) mappoint positions aligned with kf slots."""
         (f0kp, f1kp, st_idx, st_score, lines, line_mask,
-         cur_desc, cur_mask) = frontend_step(plp, loip, lgp, stereo_pair)
+         cur_desc, cur_mask, juncs, junc_desc, junc_mask) = frontend_step(
+            plp, loip, lgp, stereo_pair)
         kf_desc, kf_nk, kf_mask = kf
         nk0 = normalize_keypoints(f0kp, w, h, 0.5)
         scores_t, _, _ = lg_apply(lgp, kf_nk,
@@ -114,9 +115,11 @@ def build_full_step(vi: bool = False):
             Rwg=eye, gravity_free=jnp.asarray(0.0, dt), imu=imu,
             Rcb=eye, tcb=jnp.zeros(3, dt),
         )
-        out, p_in, _, n_in = windows.pose_only_optimization(problem, intr, cfg)
+        out, p_in, _, n_in = windows.pose_only_optimization(
+            problem, intr, cfg, vi_tracking=True if vi else None)
         return (f0kp, f1kp, st_idx, st_score, lines, line_mask,
-                out.frames.Rwb, out.frames.twb, out.frames.vel, n_in, mt.score)
+                out.frames.Rwb, out.frames.twb, out.frames.vel, n_in, mt.score,
+                juncs, junc_desc, junc_mask)
 
     rng = np.random.RandomState(0)
     kf = (jnp.asarray(rng.randn(K, 256).astype(np.float32)),

@@ -221,6 +221,34 @@ def main():
                              False, det.loi.apply, loip)
         return consume(feats) * 1e-9 + c
 
+    @stage("detect_batch_junc")
+    def _(c, _x):
+        # the mapping configuration: junctions collected in-graph
+        x = pair_example[..., None] + (c * 1e-6).astype(jnp.float32)
+        x = jax.image.resize(x, (2, DETECT_SIZE, DETECT_SIZE, 1), "bilinear")
+        pl_out = det.plnet.apply(plp, x)
+        feats = detect_batch(pl_out, None, cfg, 752 / DETECT_SIZE, 480 / DETECT_SIZE,
+                             True, det.loi.apply, loip)
+        return consume(feats) * 1e-9 + c
+
+    @stage("junction_collect")
+    def _(c, _x):
+        # isolated: endpoint dedup + heat gather + junction desc sampling
+        lines4 = jnp.asarray(rng.rand(2, cfg.max_lines, 4), jnp.float32) * 500
+        jxy_i = (lines4 + (c * 1e-6).astype(jnp.float32)).astype(jnp.int32)
+        dec = wireframe.DecodedLines(
+            lines=lines4, score=jnp.ones((2, cfg.max_lines), jnp.float32),
+            mask=jnp.ones((2, cfg.max_lines), bool),
+            junction_xy=jxy_i,
+            junction_valid=jnp.ones((2, cfg.max_lines, 2), bool),
+        )
+        def one(d, h, dm):
+            jk = wireframe.collect_junction_keypoints(d, h, cfg.max_junctions)
+            jd = sample_descriptors(dm.transpose(2, 0, 1), jk.xy, stride=8)
+            return jk, jd
+        out = jax.vmap(one)(dec, jiggle(heat2, c), desc2)
+        return consume(out) * 1e-9 + c
+
     names = args.stage or list(stages)
     print(f"{'stage':22s} {'ms/frame':>10s}")
     total = 0.0
