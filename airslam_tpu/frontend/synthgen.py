@@ -26,19 +26,29 @@ N_TRI = 3  # filled triangles
 N_QUAD = 3  # filled quads
 N_POLY_V = 3 * N_TRI + 4 * N_QUAD
 MAX_CROSS = 64
-MAX_CORNERS = 2 * N_SEG + N_POLY_V + MAX_CROSS
-MAX_SEGMENTS = N_SEG + N_POLY_V
+# region-contrast checker grid (region-boundary lines + X-crossing corners —
+# the real-image pattern class pure strokes don't cover)
+N_CHECK = 13  # grid lines per axis budget (pitch >= 44 px at 512)
+CHECK_CROSS = N_CHECK * N_CHECK
+MAX_CORNERS = 2 * N_SEG + N_POLY_V + MAX_CROSS + CHECK_CROSS
+MAX_SEGMENTS = N_SEG + N_POLY_V + 2 * N_CHECK
 
 
 class Shapes(NamedTuple):
     """Scene geometry in pixel coordinates (before rendering)."""
 
-    segments: jax.Array  # (MAX_SEGMENTS, 4) — standalone first, then edges
+    segments: jax.Array  # (MAX_SEGMENTS, 4) — standalone, edges, checker grid
     segment_mask: jax.Array  # (MAX_SEGMENTS,)
     tri_verts: jax.Array  # (N_TRI, 3, 2)
     quad_verts: jax.Array  # (N_QUAD, 4, 2)
     fill_shade: jax.Array  # (N_TRI + N_QUAD,)
     stroke: jax.Array  # (MAX_SEGMENTS,)
+    # checker region pattern: scene pos = origin + basis @ (cell coords);
+    # shade 0 disables (half of scenes). Warping transforms origin/basis, so
+    # crossings/lines stay exact in warped views.
+    checker_origin: jax.Array  # (2,)
+    checker_basis: jax.Array  # (2, 2)
+    checker_shade: jax.Array  # ()
 
 
 class Scene(NamedTuple):
@@ -138,13 +148,40 @@ def sample_shapes(key, size: int = SIZE) -> Shapes:
     fill_shade = jax.random.uniform(ks[4], (N_TRI + N_QUAD,), minval=-0.45, maxval=0.45)
     stroke = jax.random.uniform(ks[5], (MAX_SEGMENTS,), minval=-0.5, maxval=0.5)
     stroke = jnp.where(jnp.abs(stroke) < 0.25, jnp.sign(stroke) * 0.25, stroke)
+
+    # checker region grid (half of scenes): region-boundary grid lines are
+    # label-only segments (stroke 0 — their appearance comes from the region
+    # pattern itself); crossings become corner labels in render_from_shapes
+    k6, k7, k8, k9 = jax.random.split(ks[6], 4)
+    on = (jax.random.uniform(k6, ()) < 0.5).astype(jnp.float32)
+    pitch = jax.random.uniform(k7, (), minval=44.0, maxval=80.0)
+    origin = jax.random.uniform(k8, (2,), minval=-80.0, maxval=0.0)
+    delta = jax.random.uniform(k9, (), minval=0.10, maxval=0.30) * jnp.where(
+        jax.random.uniform(jax.random.fold_in(k9, 1), ()) > 0.5, 1.0, -1.0)
+    basis = pitch * jnp.eye(2)
+    idx = jnp.arange(N_CHECK, dtype=jnp.float32)
+    xs_g = origin[0] + idx * pitch
+    ys_g = origin[1] + idx * pitch
+    lo, hi = 3.0, SIZE - 3.0
+    vsegs = jnp.stack([xs_g, jnp.full((N_CHECK,), lo), xs_g,
+                       jnp.full((N_CHECK,), hi)], axis=-1)
+    hsegs = jnp.stack([jnp.full((N_CHECK,), lo), ys_g,
+                       jnp.full((N_CHECK,), hi), ys_g], axis=-1)
+    vmask = (xs_g > lo) & (xs_g < hi) & (on > 0)
+    hmask = (ys_g > lo) & (ys_g < hi) & (on > 0)
+    segs.append(jnp.concatenate([vsegs, hsegs], axis=0))
+    seg_masks.append(jnp.concatenate([vmask, hmask], axis=0))
+
     return Shapes(
         segments=jnp.concatenate(segs, axis=0),
         segment_mask=jnp.concatenate(seg_masks, axis=0),
         tri_verts=tri,
         quad_verts=quad,
         fill_shade=fill_shade,
-        stroke=stroke,
+        stroke=stroke.at[N_SEG + N_POLY_V:].set(0.0),
+        checker_origin=origin,
+        checker_basis=basis,
+        checker_shade=delta * on,
     )
 
 
@@ -159,6 +196,8 @@ def warp_shapes(shapes: Shapes, A: jax.Array, t: jax.Array) -> Shapes:
         segments=jnp.concatenate([pt(segs[:, 0:2]), pt(segs[:, 2:4])], axis=-1),
         tri_verts=pt(shapes.tri_verts),
         quad_verts=pt(shapes.quad_verts),
+        checker_origin=pt(shapes.checker_origin),
+        checker_basis=A @ shapes.checker_basis,
     )
 
 
@@ -188,6 +227,15 @@ def render_from_shapes(key, shapes: Shapes, size: int = SIZE) -> Scene:
     bg = bg + jax.image.resize(n, (size, size), "bilinear")
 
     img = bg
+    # region-contrast checker (anti-aliased): cell coords from the warped
+    # frame, so the pattern is geometrically consistent with the labels
+    Uinv = jnp.linalg.inv(shapes.checker_basis)
+    dx = px - shapes.checker_origin[0]
+    dy = py - shapes.checker_origin[1]
+    cxc = Uinv[0, 0] * dx + Uinv[0, 1] * dy
+    cyc = Uinv[1, 0] * dx + Uinv[1, 1] * dy
+    pattern = jnp.tanh(jnp.sin(jnp.pi * cxc) * jnp.sin(jnp.pi * cyc) * 6.0)
+    img = img + shapes.checker_shade * pattern
     polys = list(shapes.tri_verts) + list(shapes.quad_verts)
     for v, s in zip(polys, shapes.fill_shade):
         f = _poly_fill(px, py, v)
@@ -216,8 +264,17 @@ def render_from_shapes(key, shapes: Shapes, size: int = SIZE) -> Scene:
     )
     xpts, xmask = _seg_intersections(segs[:N_SEG], smask[:N_SEG])
     _, sel = jax.lax.top_k(xmask.astype(jnp.float32), MAX_CROSS)
-    corners = jnp.concatenate([base_c, xpts[sel]], axis=0)
-    corner_mask = jnp.concatenate([base_m, xmask[sel]], axis=0)
+    # checker X-crossings: origin + basis @ (i, j) (exact under warping)
+    ij = jnp.stack(jnp.meshgrid(jnp.arange(N_CHECK, dtype=jnp.float32),
+                                jnp.arange(N_CHECK, dtype=jnp.float32),
+                                indexing="ij"), -1).reshape(-1, 2)
+    cpts = shapes.checker_origin[None, :] + ij @ shapes.checker_basis.T
+    cmask_chk = jnp.full((CHECK_CROSS,), shapes.checker_shade != 0.0)
+    # crossings hidden under filled polygons are not corners in the image
+    for v in list(shapes.tri_verts) + list(shapes.quad_verts):
+        cmask_chk = cmask_chk & (_poly_fill(cpts[:, 0], cpts[:, 1], v) < 0.5)
+    corners = jnp.concatenate([base_c, xpts[sel], cpts], axis=0)
+    corner_mask = jnp.concatenate([base_m, xmask[sel], cmask_chk], axis=0)
     corner_mask = corner_mask & jnp.all(
         (corners > 4.0) & (corners < size - 4.0), axis=-1
     )
@@ -256,9 +313,11 @@ def photometric_augment(key, img, strength: float = 1.0):
     - sensor noise with a shot-noise term that GROWS as brightness falls
       (low light = noisy), matching real low-light statistics.
     """
-    ks = jax.random.split(key, 8)
+    ks = jax.random.split(key, 9)
     h, w = img.shape[-2], img.shape[-1]
-    s = strength
+    # per-image strength draw: a quarter of renders stay near-clean, so the
+    # detector keeps its clean-image precision while learning the dark tail
+    s = strength * jax.random.uniform(ks[8], (), minval=0.15, maxval=1.0)
 
     # brightness (log-uniform) and gamma
     log_b = jax.random.uniform(ks[0], (), minval=-1.5 * s, maxval=0.4 * s)
