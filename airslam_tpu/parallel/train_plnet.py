@@ -148,13 +148,24 @@ def detector_loss(plnet_out, tgt: Targets, key, loi_apply=None, loi_params=None,
         cands = jnp.concatenate([pos, rand_pairs], axis=0)
         valid = jnp.concatenate([scene.segment_mask, rand_valid])
 
-        # geometric label: min over GT segments of symmetric endpoint dist
-        def pair_dist(c, g):  # (4,), (4,) -> scalar
-            fwd = jnp.linalg.norm(c[0:2] - g[0:2]) + jnp.linalg.norm(c[2:4] - g[2:4])
-            rev = jnp.linalg.norm(c[0:2] - g[2:4]) + jnp.linalg.norm(c[2:4] - g[0:2])
-            return jnp.minimum(fwd, rev) * 0.5
+        # geometric label: LYING-ON criterion — a candidate is a true line
+        # iff BOTH endpoints lie on the SAME GT segment (sub-chords of a
+        # straight segment are collinear, hence visually perfect lines).
+        # The earlier symmetric endpoint-pair distance mislabeled such
+        # sub-chords negative, which became contradictory once the checker
+        # grid supplied many collinear corner pairs and measurably degraded
+        # the LOI head's precision.
+        def seg_pt_dist(p, g):  # point (2,) to segment (4,)
+            a, b = g[0:2], g[2:4]
+            d = b - a
+            L2 = jnp.maximum(d @ d, 1e-6)
+            t = jnp.clip(((p - a) @ d) / L2, 0.0, 1.0)
+            return jnp.linalg.norm(p - (a + t * d))
 
-        dmat = jax.vmap(lambda c: jax.vmap(lambda g: pair_dist(c, g))(seg4))(cands)
+        def lie_dist(c, g):  # (4,), (4,) -> scalar
+            return jnp.maximum(seg_pt_dist(c[0:2], g), seg_pt_dist(c[2:4], g))
+
+        dmat = jax.vmap(lambda c: jax.vmap(lambda g: lie_dist(c, g))(seg4))(cands)
         dmat = jnp.where(scene.segment_mask[None, :], dmat, 1e9)
         dmin = jnp.min(dmat, axis=1)
         labels = (dmin < 1.0).astype(jnp.float32)
