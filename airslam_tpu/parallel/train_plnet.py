@@ -132,7 +132,7 @@ def detector_loss(plnet_out, tgt: Targets, key, loi_apply=None, loi_params=None,
     # and every candidate is labeled geometrically: positive iff its endpoint
     # pair lies on some GT segment.
     if loi_apply is not None:
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
         seg4 = scene.segments / 4.0
         s = seg4.shape[0]
         pos = seg4 + jax.random.uniform(k1, seg4.shape, minval=-0.4, maxval=0.4)
@@ -172,8 +172,16 @@ def detector_loss(plnet_out, tgt: Targets, key, loi_apply=None, loi_params=None,
         # ambiguous band: neither clearly on a segment nor clearly off
         valid = valid & ((dmin < 1.0) | (dmin > 2.5))
 
+        # the aux path samples along each candidate's REPRESENTATIVE
+        # PROPOSAL at inference (dedup_pairs picks the first matched
+        # proposal — approximately the candidate chord + regression noise).
+        # Train with the same distribution: a ±2-cell-jittered copy of the
+        # candidate. Training with prop == cand exactly let the head lean on
+        # a clean aux signal it never sees at inference (measured: 320/512
+        # accepted at 52% precision vs 75% with self-prop inputs).
+        prop = cands + jax.random.uniform(k4, cands.shape, minval=-2.0, maxval=2.0)
         score, _ = loi_apply(
-            loi_params, cands, cands,
+            loi_params, cands, prop,
             plnet_out["loi"], plnet_out["loi_thin"], plnet_out["loi_aux"],
         )
         bce = _bce(score, labels)
