@@ -166,13 +166,31 @@ def _kmeans(desc: np.ndarray, k: int, iters: int, rng: np.random.RandomState):
     return c.astype(np.float32), d2.argmin(axis=1).astype(np.int32), valid
 
 
-def train_vocabulary(descriptors: np.ndarray, k: int = 10, depth: int = 4,
+def auto_depth(n_desc: int, k: int = 10, target_leaf: float = 20.0) -> int:
+    """Tree depth so a leaf holds ~``target_leaf`` training descriptors:
+    round(log_k(n / target_leaf)), clamped to [2, 5]."""
+    n = max(int(n_desc), 1)
+    return int(np.clip(round(np.log(n / target_leaf) / np.log(k)), 2, 5))
+
+
+def train_vocabulary(descriptors: np.ndarray, k: int = 10, depth: int = None,
                      kmeans_iters: int = 8, seed: int = 0) -> Vocabulary:
     """Hierarchical k-means training (the role of
-    ``TemplatedVocabulary::create`` with TF-IDF/L1, map_refiner.cc:958-981)."""
+    ``TemplatedVocabulary::create`` with TF-IDF/L1, map_refiner.cc:958-981).
+
+    ``depth=None`` auto-selects the tree depth so a leaf holds ~20 training
+    descriptors. The reference ships a vocabulary pretrained on large generic
+    corpora, so its leaves are broad clusters; a map-trained vocabulary with a
+    fixed 10^4-leaf tree degenerates to ~1 descriptor per leaf on small maps,
+    and word assignment then becomes brittle exactly when descriptor noise
+    rises (low light) — revisit frames stop sharing words and loop detection
+    dies. Sizing leaves to the corpus restores DBoW2-like cluster breadth.
+    """
     rng = np.random.RandomState(seed)
     desc = np.asarray(descriptors, np.float32)
     d = desc.shape[1]
+    if depth is None:
+        depth = auto_depth(len(desc), k)
 
     levels = []
     valids = []

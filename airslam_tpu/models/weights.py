@@ -61,6 +61,13 @@ _CHECKPOINT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
 
 
 def checkpoint_path(name: str) -> str:
+    # AIRSLAM_CHECKPOINT_DIR overrides the shipped checkpoint directory
+    # (A/B experiments with alternate weight sets; falls back per-file)
+    override = os.environ.get("AIRSLAM_CHECKPOINT_DIR")
+    if override:
+        p = os.path.join(override, name)
+        if os.path.exists(p):
+            return p
     return os.path.normpath(os.path.join(_CHECKPOINT_DIR, name))
 
 

@@ -174,6 +174,7 @@ class MapUser:
             if len(pairs) < self.min_inlier_num:
                 break  # sorted: nothing later can pass either
             loop_kf = self.map.keyframes[ordered[bi][0]]
+            group_fids = groups[ordered[bi][0]]["members"]
             matched = {}
             for qi, li in pairs:
                 tid = int(loop_kf.track_ids[li])
@@ -186,12 +187,21 @@ class MapUser:
                 continue
 
             if self.projection_recovery:
-                extra = self._recover_matches(frame, Twc, loop_kf, matched)
-                if extra:
+                # two rounds: the re-estimated pose of round 1 projects more
+                # accurately, so round 2 claims keypoints the coarse PnP pose
+                # missed (the SearchByProjection→optimize→search-again loop
+                # of map.cc:930-994 / map_refiner.cc:237-460)
+                for _ in range(2):
+                    extra = self._recover_matches(frame, Twc, loop_kf, matched,
+                                                  extra_fids=group_fids)
+                    if not extra:
+                        break
                     matched.update(extra)
                     ok2, Twc2, n2 = self._solve_pnp(frame, matched)
                     if ok2 and n2 >= n_inliers:
                         Twc, n_inliers = Twc2, n2
+                    else:
+                        break
 
             frame.set_pose(Twc)
             last_Twc = Twc
@@ -201,6 +211,17 @@ class MapUser:
                     continue
                 Twc, n_inliers = self._refine_pose(frame, matched)
                 last_Twc = Twc
+                if self.projection_recovery and n_inliers < self.min_inlier_num:
+                    # marginal query: the GN-refined pose is the most accurate
+                    # projection we will get — one post-refinement recovery
+                    # round, then re-refine with the enlarged match set
+                    extra = self._recover_matches(frame, Twc, loop_kf, matched,
+                                                  extra_fids=group_fids)
+                    if extra:
+                        matched.update(extra)
+                        frame.set_pose(Twc)
+                        Twc, n_inliers = self._refine_pose(frame, matched)
+                        last_Twc = Twc
 
             if n_inliers >= self.min_inlier_num:
                 return True, Twc
@@ -256,7 +277,7 @@ class MapUser:
 
     def _recover_matches(self, frame, Twc, loop_kf, matched,
                          radius: float = 15.0, dist_thr: float = 0.35,
-                         ratio: float = 0.6):
+                         ratio: float = 0.85, extra_fids=()):
         """Project the loop group's mappoints through the PnP pose and claim
         unmatched query keypoints near their projections. Descriptor gates
         follow ``Map::SearchByProjection`` (map.cc:977-994): best 1−dot
@@ -272,6 +293,10 @@ class MapUser:
         cand_pos, cand_desc, cand_mpt = [], [], []
         fids = [loop_kf.frame_id] + list(
             self.map.covisible_frames(loop_kf.frame_id, min_shared=11))
+        # the retrieval group's members widen the projection pool — a novel
+        # viewpoint between mapped keyframes sees points that the single best
+        # keyframe and its covisibles do not cover
+        fids += [f for f in extra_fids if f not in fids]
         seen = set()
         for fid in fids:
             kf = self.map.keyframes.get(fid)

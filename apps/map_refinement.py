@@ -50,8 +50,8 @@ def main():
         descs = np.concatenate([
             m.keyframes[f].kp_desc[m.keyframes[f].kp_mask] for f in m.keyframe_ids
         ])
-        print(f"training point vocabulary on {len(descs)} descriptors (k=10, L=4)")
-        voc = train_vocabulary(descs, k=10, depth=4)
+        print(f"training point vocabulary on {len(descs)} descriptors (k=10, auto depth)")
+        voc = train_vocabulary(descs, k=10)
         if args.voc_path:
             voc.save(args.voc_path)
 

@@ -156,3 +156,22 @@ def test_database_csr_query_matches_dict_walk_at_scale():
         for fid in db.inverted_file.get(wid, {}):
             ref2[fid] = ref2.get(fid, 0) + 1
     assert counts2 == ref2
+
+
+def test_auto_depth_targets_leaf_occupancy():
+    """depth=None sizes the tree so leaves hold ~20 descriptors — a fixed
+    10^4-leaf tree over a small map's ~8k descriptors degenerates to ~1
+    descriptor/leaf and word assignment becomes brittle under noise (dark
+    sequences lost all loop candidates before this heuristic)."""
+    from airslam_tpu.loopclosure.vocabulary import auto_depth
+
+    assert auto_depth(100) == 2        # floor
+    assert auto_depth(8_000) == 3      # a 21-keyframe map -> 1000 leaves
+    assert auto_depth(30_000) == 3     # an 80-keyframe map
+    assert auto_depth(2_000_000) == 5  # cap
+    # the auto default actually engages in train_vocabulary
+    rng = np.random.RandomState(0)
+    desc = rng.randn(300, 8).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    voc = train_vocabulary(desc, k=4)
+    assert voc.depth == auto_depth(300, 4)
