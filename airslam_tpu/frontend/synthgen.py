@@ -371,12 +371,24 @@ def render_scene(key, size: int = SIZE, augment: float = 0.0) -> Scene:
     return s
 
 
-def render_pair_with_affine(key, size: int = SIZE, augment: float = 0.0):
+def render_pair_with_affine(key, size: int = SIZE, augment: float = 0.0,
+                            view: float = 1.0):
     """:func:`render_pair` plus the ground-truth (A, t) map from view-0 to
-    view-1 pixels (for detector-in-the-loop correspondence supervision)."""
+    view-1 pixels (for detector-in-the-loop correspondence supervision).
+
+    ``view`` > 1 widens the viewpoint gap: the affine strength multiplier is
+    sampled per pair in [1, view] (rotation/scale/shift ranges all scale), so
+    a curriculum keeps the easy pairs while adding hard ones — matcher
+    fine-tuning for the relocalization viewpoint envelope."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
     shapes = sample_shapes(k1, size)
-    A, t = random_affine(k2, size)
+    if view > 1.0:
+        v = 1.0 + (view - 1.0) * jax.random.uniform(jax.random.fold_in(key, 23))
+        A, t = random_affine(k2, size, max_rot=0.35 * v,
+                             scale_range=(1.0 - 0.15 * v, 1.0 + 0.15 * v),
+                             max_shift=40.0 * v)
+    else:
+        A, t = random_affine(k2, size)
     s0 = render_from_shapes(k3, shapes, size)
     s1 = render_from_shapes(k4, warp_shapes(shapes, A, t), size)
     if augment > 0:

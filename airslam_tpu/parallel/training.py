@@ -238,7 +238,7 @@ def make_rendered_train_step_sg(model, tx, plnet_apply, plnet_params,
 def make_detected_batch(plnet_apply, plnet_params, key, k_tokens: int = 256,
                         image_size: int = 512, match_px: float = 3.0,
                         norm_scale: float = 0.5, with_scores: bool = False,
-                        augment: float = 1.0):
+                        augment: float = 1.0, view: float = 1.0):
     """Returns (k0n, [s0,] d0, m0, k1n, [s1,] d1, m1, tgt, neg0, neg1):
     tgt[i] is the matching view-1 token index or −1; neg0/neg1 flag tokens
     that are DEFINITELY unmatched (no cross-view detection within
@@ -250,7 +250,8 @@ def make_detected_batch(plnet_apply, plnet_params, key, k_tokens: int = 256,
     from airslam_tpu.ops.detect import topk_keypoints
     from airslam_tpu.ops.gridsample import sample_descriptors
 
-    s0, s1, A, t = synthgen.render_pair_with_affine(key, augment=augment)
+    s0, s1, A, t = synthgen.render_pair_with_affine(key, augment=augment,
+                                                    view=view)
     imgs = jnp.stack([s0.image, s1.image])[..., None]
     out = plnet_apply(plnet_params, imgs)
     kp0 = topk_keypoints(out["scores"][0], 0.004, 4, k_tokens)
@@ -315,7 +316,7 @@ def detected_match_loss_sg(model, params, batch):
 
 def make_detected_train_step(model, tx, plnet_apply, plnet_params,
                              superglue: bool = False, k_tokens: int = 256,
-                             augment: float = 1.0):
+                             augment: float = 1.0, view: float = 1.0):
     loss = detected_match_loss_sg if superglue else detected_match_loss
     scale = 0.7 if superglue else 0.5
 
@@ -324,7 +325,8 @@ def make_detected_train_step(model, tx, plnet_apply, plnet_params,
             batch = jax.vmap(
                 lambda k: make_detected_batch(
                     plnet_apply, plnet_params, k, k_tokens=k_tokens,
-                    norm_scale=scale, with_scores=superglue, augment=augment)
+                    norm_scale=scale, with_scores=superglue, augment=augment,
+                    view=view)
             )(keys)
             return loss(model, p, batch)
 

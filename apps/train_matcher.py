@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--log_every", type=int, default=50)
     ap.add_argument("--augment", type=float, default=1.0,
                     help="photometric augmentation strength (0 disables)")
+    ap.add_argument("--view", type=float, default=1.0,
+                    help="viewpoint-gap curriculum: affine strength sampled "
+                         "per pair in [1, view] (detected tokens only)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -75,7 +78,8 @@ def main():
     if args.tokens == "detected":
         step_fn = jax.jit(training.make_detected_train_step(
             model, tx, plnet.apply, plnet_params,
-            superglue=args.arch == "superglue", augment=args.augment))
+            superglue=args.arch == "superglue", augment=args.augment,
+            view=args.view))
     else:
         step_fn = jax.jit(make_step(model, tx, plnet.apply, plnet_params,
                                     augment=args.augment))

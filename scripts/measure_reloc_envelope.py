@@ -23,6 +23,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+# the container pins JAX to the remote-TPU tunnel; the in-process rendering
+# (render_hard_queries) must run on local CPU or every dispatch crosses the
+# network
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

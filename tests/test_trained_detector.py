@@ -273,6 +273,55 @@ def test_illumination_repeatability(detector):
     assert np.mean(mutuals) > 0.8, f"cross-illumination match precision {mutuals}"
 
 
+def test_wide_viewpoint_matching(detector):
+    """Matcher gate at 2x the training affine range (the relocalization
+    viewpoint-envelope condition): the viewpoint-curriculum fine-tuned
+    LightGlue (apps/train_matcher.py --view 2) must keep accepting a
+    healthy match count at wide baselines without losing precision.
+    Pre-curriculum weights measured ~80 accepted matches here; the gate
+    pins the fine-tune's count recovery (map_user.cc:360-457 is the
+    consumer — reloc PnP needs the raw count)."""
+    import jax
+    import jax.tree_util as jtu
+
+    mckpt = wio.checkpoint_path("lightglue.npz")
+    if not os.path.exists(mckpt):
+        pytest.skip("trained lightglue checkpoint absent")
+    from airslam_tpu.frontend import synthgen
+    from airslam_tpu.frontend.matcher import MatcherConfig, PointMatcher
+
+    pm = PointMatcher(
+        MatcherConfig(matcher=0, max_keypoints=400, image_width=512,
+                      image_height=512),
+        params=wio.load_params(mckpt),
+    )
+    v = 2.0  # fixed affine strength multiplier (rotation/scale/shift x2)
+    counts, precs = [], []
+    for seed in (1000, 1002, 1004):
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        shapes = synthgen.sample_shapes(k1, 512)
+        A, t = synthgen.random_affine(
+            k2, 512, max_rot=0.35 * v,
+            scale_range=(1.0 - 0.15 * v, 1.0 + 0.15 * v), max_shift=40.0 * v)
+        s0 = synthgen.render_from_shapes(k3, shapes, 512)
+        s1 = synthgen.render_from_shapes(
+            k4, synthgen.warp_shapes(shapes, A, t), 512)
+        A, t = np.asarray(A), np.asarray(t)
+        f0 = jtu.tree_map(lambda x: np.asarray(x[0]),
+                          detector.detect(np.asarray(s0.image)[None]))
+        f1 = jtu.tree_map(lambda x: np.asarray(x[0]),
+                          detector.detect(np.asarray(s1.image)[None]))
+        pairs, _ = pm.matching_points(f0, f1)
+        counts.append(len(pairs))
+        if len(pairs):
+            pred = f0.keypoints[pairs[:, 0]] @ A.T + t
+            err = np.linalg.norm(pred - f1.keypoints[pairs[:, 1]], axis=-1)
+            precs.append((err < 4.0).mean())
+    assert np.mean(counts) >= 60, f"wide-viewpoint match counts {counts}"
+    assert np.mean(precs) > 0.9, f"wide-viewpoint precision {precs}"
+
+
 def test_real_photo_detections(detector):
     """Natural-image smoke gate (container has no EuRoC): the trained
     detector must produce plentiful, spatially-spread, non-degenerate
