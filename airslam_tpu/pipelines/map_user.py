@@ -70,6 +70,18 @@ class MapUser:
         # map_refiner.cc:237-460) — widens the viewpoint envelope beyond
         # what the direct LightGlue match budget reaches
         self.projection_recovery = projection_recovery
+        # Wide-baseline bootstrap: with recovery available, a candidate whose
+        # RAW LightGlue match count is below min_inlier_num can still seed
+        # PnP — projection recovery then claims the matches the direct
+        # matcher missed, and ACCEPTANCE still requires min_inlier_num
+        # refined inliers (the reference gates the attempt itself at
+        # min_inlier_num, map_user.cc:377-383; bootstrapping is a strict
+        # superset that cannot accept anything the final gate rejects).
+        self.bootstrap_min = (max(12, min_inlier_num // 3)
+                              if projection_recovery else min_inlier_num)
+        # stage diagnostics of the last relocalize_frame call (for envelope
+        # analysis): candidate counts, per-attempt pair/PnP/recovery numbers
+        self.last_stats: dict = {}
         self._frame_counter = 10_000_000
         # precompute per-keyframe junction connections
         self._kf_junc_conns: Dict[int, list] = {}
@@ -111,6 +123,8 @@ class MapUser:
                 frame.junc_desc, frame.junc_mask
             )
 
+        self.last_stats = {"n_candidates": 0, "n_groups": 0,
+                           "pair_counts": [], "attempts": []}
         counts = self.database.query(vec)
         if not counts:
             return False, np.eye(4)
@@ -168,10 +182,16 @@ class MapUser:
         # computed in the one batched dispatch, so extra attempts only cost
         # the PnP — a strict superset of the reference's single best attempt)
         order = sorted(range(len(results)), key=lambda i: -len(results[i][0]))
+        self.last_stats = stats = {
+            "n_candidates": len(counts),
+            "n_groups": len(groups),
+            "pair_counts": [len(results[bi][0]) for bi in order],
+            "attempts": [],
+        }
         last_Twc = np.eye(4)
         for bi in order:
             pairs = results[bi][0]
-            if len(pairs) < self.min_inlier_num:
+            if len(pairs) < self.bootstrap_min:
                 break  # sorted: nothing later can pass either
             loop_kf = self.map.keyframes[ordered[bi][0]]
             group_fids = groups[ordered[bi][0]]["members"]
@@ -182,7 +202,10 @@ class MapUser:
                 if mpt is not None and mpt.is_valid:
                     matched[int(qi)] = mpt
 
+            att = {"pairs": len(pairs), "seed_matched": len(matched)}
+            stats["attempts"].append(att)
             ok, Twc, n_inliers = self._solve_pnp(frame, matched)
+            att["pnp_ok"], att["pnp_inliers"] = ok, n_inliers
             if not ok:
                 continue
 
@@ -190,9 +213,14 @@ class MapUser:
                 # two rounds: the re-estimated pose of round 1 projects more
                 # accurately, so round 2 claims keypoints the coarse PnP pose
                 # missed (the SearchByProjection→optimize→search-again loop
-                # of map.cc:930-994 / map_refiner.cc:237-460)
-                for _ in range(2):
+                # of map.cc:930-994 / map_refiner.cc:237-460). A bootstrap
+                # seed (< min_inlier_num direct matches) gives a coarser PnP
+                # pose, so its first projection round searches wider.
+                for ri in range(2):
+                    radius = 20.0 if (ri == 0 and
+                                      len(matched) < self.min_inlier_num) else 15.0
                     extra = self._recover_matches(frame, Twc, loop_kf, matched,
+                                                  radius=radius,
                                                   extra_fids=group_fids)
                     if not extra:
                         break
@@ -202,12 +230,14 @@ class MapUser:
                         Twc, n_inliers = Twc2, n2
                     else:
                         break
+                att["recovered_matched"] = len(matched)
+                att["recovered_inliers"] = n_inliers
 
             frame.set_pose(Twc)
             last_Twc = Twc
 
             if self.pose_refinement:
-                if len(matched) < self.min_inlier_num:
+                if len(matched) < max(10, self.bootstrap_min):
                     continue
                 Twc, n_inliers = self._refine_pose(frame, matched)
                 last_Twc = Twc
@@ -223,7 +253,9 @@ class MapUser:
                         Twc, n_inliers = self._refine_pose(frame, matched)
                         last_Twc = Twc
 
+            att["final_inliers"] = n_inliers
             if n_inliers >= self.min_inlier_num:
+                att["accepted"] = True
                 return True, Twc
         return False, last_Twc
 

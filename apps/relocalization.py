@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--no_recovery", action="store_true",
                     help="disable projection-guided match recovery after PnP "
                          "(the round-2 baseline behavior)")
+    ap.add_argument("--diagnose", action="store_true",
+                    help="print per-query stage diagnostics (candidate count, "
+                         "raw pair counts, PnP/recovery/final inliers)")
     from airslam_tpu.utils import device as device_util
 
     device_util.add_arg(ap)
@@ -100,6 +103,8 @@ def main():
         if img is None:
             continue
         ok, Twc = user.relocalize_image(img.astype(np.float32) / 255.0)
+        if args.diagnose:
+            print(f"diag {name} ok={ok} {user.last_stats}", flush=True)
         if ok:
             success += 1
             try:

@@ -125,6 +125,62 @@ def test_relocalization_with_junction_rerank(junction_map):
     s = user._junction_score(kf_id, jvec, jwids, q_conns)
     assert s > 0.5  # identical junctions → L1 score ≈ 1, rate boosts above it
 
+class TruncatingMatcher(FakeMatcher):
+    """Simulates a weak wide-baseline direct matcher: only the first ``keep``
+    true pairs survive the matching stage (descriptors stay intact, so
+    projection recovery can still claim keypoints geometrically)."""
+
+    def __init__(self, keep=15):
+        self.keep = keep
+
+    def matching_points(self, f0, f1, outlier_rejection=False, threshold=None):
+        pairs, scores = super().matching_points(f0, f1, outlier_rejection,
+                                                threshold)
+        return pairs[: self.keep], scores[: self.keep]
+
+
+def test_bootstrap_wide_baseline_reloc(junction_map):
+    """A candidate with fewer direct matches than ``min_inlier_num`` still
+    relocalizes via the bootstrap path (small PnP seed → projection recovery
+    → refinement), while ACCEPTANCE keeps the unchanged min_inlier_num gate.
+    The reference gates the attempt itself at min_inlier_num
+    (map_user.cc:377-383) — with recovery off we reproduce that and the same
+    query fails."""
+    builder, refiner, _, _, _ = junction_map
+    m = refiner.map
+    kf_id = m.keyframe_ids[2]
+    kf = m.keyframes[kf_id]
+    feats = FrameFeatures(
+        keypoints=kf.keypoints, kp_scores=kf.kp_scores, kp_desc=kf.kp_desc,
+        kp_mask=kf.kp_mask, lines=kf.lines, line_scores=kf.line_scores,
+        line_mask=kf.line_mask, junctions=kf.junctions,
+        junc_scores=kf.junc_scores, junc_desc=kf.junc_desc, junc_mask=kf.junc_mask,
+    )
+    q = Frame(999999, 0.0, feats, m.camera)
+    q.u_right = kf.u_right.copy()
+    q.depth = kf.depth.copy()
+
+    user = MapUser(m, detector=None, matcher=TruncatingMatcher(keep=15),
+                   point_db=refiner.database,
+                   junction_db=refiner.junction_database,
+                   min_inlier_num=30, pose_refinement=True)
+    assert user.bootstrap_min == 12 < 15
+    ok, Twc = user.relocalize_frame(q)
+    assert ok, f"bootstrap reloc failed: {user.last_stats}"
+    assert np.linalg.norm(Twc[:3, 3] - kf.Twc[:3, 3]) < 0.03
+    att = next(a for a in user.last_stats["attempts"] if a.get("accepted"))
+    assert att["pairs"] < 30  # genuinely below the acceptance gate
+    assert att["final_inliers"] >= 30
+
+    strict = MapUser(m, detector=None, matcher=TruncatingMatcher(keep=15),
+                     point_db=refiner.database,
+                     junction_db=refiner.junction_database,
+                     min_inlier_num=30, pose_refinement=True,
+                     projection_recovery=False)
+    ok2, _ = strict.relocalize_frame(q)
+    assert not ok2  # reference-style gate: 15 raw pairs < 30 → no attempt
+
+
 def test_projection_match_recovery(junction_map):
     """Projection-guided recovery (SearchByProjection semantics,
     map.cc:945-998) claims unmatched query keypoints from the loop group's
