@@ -181,6 +181,43 @@ def test_bootstrap_wide_baseline_reloc(junction_map):
     assert not ok2  # reference-style gate: 15 raw pairs < 30 → no attempt
 
 
+def test_bootstrap_rejects_geometric_garbage(junction_map):
+    """Negative control for the bootstrap path: a query whose DESCRIPTORS
+    retrieve the right keyframe (BoW + direct matcher both fire) but whose
+    keypoint GEOMETRY is scrambled must be rejected — PnP/refinement cannot
+    reach min_inlier_num on permuted positions, and neither bootstrap nor
+    projection recovery may manufacture acceptance (the final gate is the
+    reference's min_inlier_num, map_user.cc:377-383)."""
+    builder, refiner, _, _, _ = junction_map
+    m = refiner.map
+    kf = m.keyframes[m.keyframe_ids[2]]
+    rng = np.random.RandomState(41)
+    valid = np.nonzero(kf.kp_mask)[0]
+    perm = valid[rng.permutation(len(valid))]
+    kp = kf.keypoints.copy()
+    kp[valid] = kf.keypoints[perm]  # descriptors keep their slots
+    feats = FrameFeatures(
+        keypoints=kp, kp_scores=kf.kp_scores, kp_desc=kf.kp_desc,
+        kp_mask=kf.kp_mask, lines=kf.lines, line_scores=kf.line_scores,
+        line_mask=kf.line_mask, junctions=kf.junctions,
+        junc_scores=kf.junc_scores, junc_desc=kf.junc_desc,
+        junc_mask=kf.junc_mask,
+    )
+    q = Frame(999998, 0.0, feats, m.camera)
+    q.u_right = kf.u_right.copy()
+    q.depth = kf.depth.copy()
+
+    user = MapUser(m, detector=None, matcher=FakeMatcher(),
+                   point_db=refiner.database,
+                   junction_db=refiner.junction_database,
+                   min_inlier_num=30, pose_refinement=True)
+    ok, _ = user.relocalize_frame(q)
+    assert not ok, f"accepted scrambled geometry: {user.last_stats}"
+    # retrieval + direct matching DID fire — rejection happened on geometry
+    assert user.last_stats["n_candidates"] > 0
+    assert user.last_stats["pair_counts"] and user.last_stats["pair_counts"][0] >= user.bootstrap_min
+
+
 def test_projection_match_recovery(junction_map):
     """Projection-guided recovery (SearchByProjection semantics,
     map.cc:945-998) claims unmatched query keypoints from the loop group's
