@@ -341,6 +341,16 @@ def _onnx_bilerp(fmap: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
 
     fmap: (H, W, C); x, y: (...) float. Returns (..., C).
     """
+    if fmap.dtype == jnp.bfloat16:
+        from airslam_tpu.ops import bilerp_pallas
+
+        if bilerp_pallas.available():
+            # TPU frontend path: fused VMEM-resident Pallas kernel — same
+            # corner arithmetic and bf16 weight rounding, f32 row
+            # accumulation (the XLA path rounds its rows to bf16), and no
+            # (N, W, C) HBM intermediate. CPU/f32 paths (incl. the bit-exact
+            # stage-1 import test) keep the einsum formulation below.
+            return bilerp_pallas.bilerp_points(fmap, x, y)
     h, w, _ = fmap.shape
     shape = x.shape
     x = x.reshape(-1)
