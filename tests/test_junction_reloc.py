@@ -257,3 +257,68 @@ def test_projection_match_recovery(junction_map):
     rec2 = user._recover_matches(q, kf.Twc, kf, matched=some)
     claimed_ids = {id(mp) for mp in some.values()}
     assert all(id(mp) not in claimed_ids for mp in rec2.values())
+
+
+class WindowedMatcher(FakeMatcher):
+    """Each map-side keyframe only yields a WINDOW of the true matches,
+    keyed by its frame id — emulating wide-baseline partial co-visibility:
+    no single keyframe's direct matches reach ``min_inlier_num``, but the
+    union over the loop group's members does."""
+
+    def __init__(self, width=12):
+        self.width = width
+
+    def matching_points(self, f0, f1, outlier_rejection=False, threshold=None):
+        pairs, scores = super().matching_points(f0, f1, outlier_rejection,
+                                                threshold)
+        s = (int(f1.frame_id) * 7) % max(1, len(pairs) - self.width)
+        return pairs[s:s + self.width], scores[s:s + self.width]
+
+
+def test_matcher_recovery_unions_the_loop_group(junction_map):
+    """Learned-matcher recovery (map_user._matcher_recovery): when direct
+    matching + NN projection recovery leave a marginal inlier count
+    (bootstrap_min <= n < min_inlier_num), ONE batched matcher pass over the
+    loop group's member keyframes must union enough NEW mappoint matches to
+    pass the unchanged min_inlier_num gate. NN recovery is stubbed to {} —
+    the measured behavior at the 1.0 m / 25 deg envelope point, where the
+    per-descriptor 0.35 NN gate saturates while the full matcher does not
+    (the TPU-idiomatic analogue of the reference's inverted-file recovery
+    through the loop group, map_refiner.cc:237-460)."""
+    builder, refiner, _, _, _ = junction_map
+    m = refiner.map
+    kf_id = m.keyframe_ids[2]
+    kf = m.keyframes[kf_id]
+    feats = FrameFeatures(
+        keypoints=kf.keypoints, kp_scores=kf.kp_scores, kp_desc=kf.kp_desc,
+        kp_mask=kf.kp_mask, lines=kf.lines, line_scores=kf.line_scores,
+        line_mask=kf.line_mask, junctions=kf.junctions,
+        junc_scores=kf.junc_scores, junc_desc=kf.junc_desc,
+        junc_mask=kf.junc_mask,
+    )
+
+    def make_user():
+        u = MapUser(m, detector=None, matcher=WindowedMatcher(width=12),
+                    point_db=refiner.database,
+                    junction_db=refiner.junction_database,
+                    min_inlier_num=30, pose_refinement=True)
+        u._recover_matches = lambda *a, **k: {}  # NN gate saturated
+        return u
+
+    q = Frame(999997, 0.0, feats, m.camera)
+    user = make_user()
+    assert user.bootstrap_min == 12
+    ok, Twc = user.relocalize_frame(q)
+    assert ok, f"matcher recovery failed: {user.last_stats}"
+    assert np.linalg.norm(Twc[:3, 3] - kf.Twc[:3, 3]) < 0.03
+    att = next(a for a in user.last_stats["attempts"] if a.get("accepted"))
+    assert att["pairs"] < 30           # the deputy alone was marginal
+    assert att["matcher_recovered"] > 0
+    assert att["final_inliers"] >= 30
+
+    # ablation: without the matcher-recovery branch the same query fails
+    q2 = Frame(999996, 0.0, feats, m.camera)
+    user2 = make_user()
+    user2._matcher_recovery = lambda *a, **k: {}
+    ok2, _ = user2.relocalize_frame(q2)
+    assert not ok2, f"accepted without recovery: {user2.last_stats}"
