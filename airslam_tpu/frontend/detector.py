@@ -98,10 +98,14 @@ def _detect_single(
     p = plnet_out["line_pred"].reshape(-1, 4)
     logit = plnet_out["line_logit"].reshape(-1)
     if 0 < cfg.max_proposals < p.shape[0]:
+        from airslam_tpu.ops import gather
         from airslam_tpu.ops.detect import top_k
 
         logit, sel = top_k(logit, cfg.max_proposals)
-        p = p[sel]
+        # 4096-row gather from the 49152-proposal table: serial
+        # dynamic-slices on TPU (~0.3 ms hidden in the fused frontend) →
+        # two-stage one-hot MXU contraction
+        p = gather.take_rows(p, sel)
     keep, jmin, jmax = wireframe.match_proposals(
         p, logit, juncs, cfg.junction_match_threshold
     )

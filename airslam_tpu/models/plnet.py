@@ -296,8 +296,15 @@ class LoiHeadS1(nn.Module):
             f_junc = _onnx_bilerp(loi, junc_xy[:, 0] - 0.5, junc_xy[:, 1] - 0.5)
             j = junc_xy.shape[0]
             idx = jnp.clip(pair_idx, 0, j - 1)
-            f_ep1 = jnp.take(f_junc, idx[:, 0], axis=0)  # (L, 128)
-            f_ep2 = jnp.take(f_junc, idx[:, 1], axis=0)
+            # row gathers lower to serial dynamic-slices on TPU; a one-hot
+            # contraction fetches the same rows on the MXU, bit-exactly
+            # (exactly one 1.0 per row: value·1 + Σ0 = value)
+            l = idx.shape[0]
+            ioj = jax.lax.broadcasted_iota(jnp.int32, (l, j), 1)
+            f_ep1 = jnp.dot((ioj == idx[:, 0:1]).astype(f_junc.dtype), f_junc,
+                            preferred_element_type=f_junc.dtype)  # (L, 128)
+            f_ep2 = jnp.dot((ioj == idx[:, 1:2]).astype(f_junc.dtype), f_junc,
+                            preferred_element_type=f_junc.dtype)
         else:
             e1 = lines[:, 0:2]
             e2 = lines[:, 2:4]

@@ -71,9 +71,11 @@ def topk_keypoints(
         cells = masked.reshape(hc, 8, wc, 8).transpose(0, 2, 1, 3).reshape(hc * wc, 64)
         cmax = jnp.max(cells, axis=1)
         _, cidx = top_k(cmax, k)
-        cand = cells[cidx]  # (k, 64)
+        from airslam_tpu.ops import gather
+
+        cand = gather.take_rows(cells, cidx)  # (k, 64) — MXU, not serial slices
         scores, flat = jax.lax.top_k(cand.reshape(-1), k)
-        ci = cidx[flat // 64]
+        ci = gather.take_values(cidx, flat // 64)
         within = flat % 64
         x = ((ci % wc) * 8 + within % 8).astype(heat.dtype)
         y = ((ci // wc) * 8 + within // 8).astype(heat.dtype)

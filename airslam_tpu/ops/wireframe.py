@@ -21,6 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from airslam_tpu.ops import gather
 from airslam_tpu.ops.detect import simple_nms, top_k
 
 
@@ -46,7 +47,7 @@ def decode_junctions(junc_heat: jax.Array, junc_offset: jax.Array, k: int,
     score, idx = top_k(nmsed.reshape(-1), k, exact)
     ys = (idx // w).astype(jnp.float32)
     xs = (idx % w).astype(jnp.float32)
-    off = junc_offset.reshape(h * w, 2)[idx]
+    off = gather.take_rows(junc_offset.reshape(h * w, 2), idx)
     xy = jnp.stack([xs, ys], axis=-1) + off
     return Junctions(xy=xy, score=score, mask=score > 0)
 
@@ -131,7 +132,7 @@ def dedup_pairs(
             rank = jnp.concatenate([rank, jnp.full((max_lines - p,), p, rank.dtype)])
             skey = jnp.concatenate([skey, jnp.full((max_lines - p,), n_keys, skey.dtype)])
         neg_order, sel = top_k(-rank, max_lines)
-        uniq_key = skey[sel]
+        uniq_key = gather.take_values(skey, sel)
     else:
         # pack would overflow int32 (unprefiltered P): scatter-min fallback
         slot = jnp.full((n_keys,), p, dtype=jnp.int32)
@@ -142,12 +143,12 @@ def dedup_pairs(
     valid = first_occ < p
     pair_min = (uniq_key // num_junctions).astype(jnp.int32)
     pair_max = (uniq_key % num_junctions).astype(jnp.int32)
-    p1 = juncs.xy[pair_max]
-    p2 = juncs.xy[pair_min]
+    p1 = gather.take_rows(juncs.xy, pair_max)
+    p2 = gather.take_rows(juncs.xy, pair_min)
     lines = jnp.concatenate([p1, p2], axis=-1)
     if line_pred is not None:
         rep = jnp.clip(first_occ, 0, p - 1).astype(jnp.int32)
-        prop_lines = line_pred[rep]
+        prop_lines = gather.take_rows(line_pred, rep)
     else:
         prop_lines = lines
     return LineCandidates(
@@ -225,18 +226,30 @@ def collect_junction_keypoints(
     exy = decoded.junction_xy.reshape(-1, 2)  # (2L, 2) int
     evalid = decoded.junction_valid.reshape(-1)
     n = exy.shape[0]
-    flat_idx = jnp.clip(exy[:, 1], 0, h - 1) * w + jnp.clip(exy[:, 0], 0, w - 1)
+    ys_i = jnp.clip(exy[:, 1], 0, h - 1)
+    xs_i = jnp.clip(exy[:, 0], 0, w - 1)
+    # heatmap gather at the ≤2L endpoint pixels as two dense one-hot
+    # contractions (row select on the MXU, column select as a masked
+    # reduce): a 1-D gather from the 512² plane lowers to SERIAL
+    # dynamic-slices on TPU — measured 0.26 ms of the fused frontend's
+    # junction stage, vs ~0.27 GFLOP ≈ µs for the matmul form
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (n, h), 1)
+    rows = jnp.dot((ioh == ys_i[:, None]).astype(heat.dtype), heat,
+                   preferred_element_type=jnp.float32)  # (n, w)
+    iow = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
+    score_at = jnp.sum(rows * (iow == xs_i[:, None]),
+                       axis=1).astype(heat.dtype)  # (n,)
+    flat_idx = ys_i * w + xs_i
     key = jnp.where(evalid, flat_idx, h * w)  # invalid → sentinel
-    skey = jnp.sort(key)
+    skey, sscore = jax.lax.sort((key, score_at), num_keys=1)
     is_first = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]
     ) & (skey < h * w)
     safe = jnp.minimum(skey, h * w - 1)
-    cand_score = jnp.where(is_first, heat.reshape(-1)[safe],
-                           jnp.full((n,), -1.0, heat.dtype))
+    cand_score = jnp.where(is_first, sscore, jnp.full((n,), -1.0, heat.dtype))
     k = min(max_junctions, n)
     score, sel = top_k(cand_score, k)
-    pos = safe[sel]
+    pos = gather.take_values(safe, sel)
     xs = (pos % w).astype(jnp.float32)
     ys = (pos // w).astype(jnp.float32)
     mask = score > -1.0

@@ -34,7 +34,7 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-POINTS = [(0.45, 12.0), (0.70, 18.0), (1.00, 25.0)]
+POINTS = [(0.45, 12.0), (0.70, 18.0), (1.00, 25.0), (1.50, 35.0), (2.00, 45.0)]
 
 
 def run(cmd):
