@@ -191,6 +191,22 @@ class Camera:
             return None, None
         return jnp.asarray(self.map_left, dtype), jnp.asarray(self.map_right, dtype)
 
+    def remap_plans(self):
+        """Tiled-remap plans for the Pallas rectification kernel
+        (ops/remap_tiled.py), built lazily once per camera; (None, None)
+        when the input is already rectified or the grid defeats tiling."""
+        if self.map_left is None:
+            return None, None
+        if getattr(self, "_remap_plans", None) is None:
+            from airslam_tpu.ops import remap_tiled
+
+            shape = self.map_left.shape[:2]
+            self._remap_plans = (
+                remap_tiled.build_plan(self.map_left, shape),
+                remap_tiled.build_plan(self.map_right, shape),
+            )
+        return self._remap_plans
+
 
 def _read_camera_node(cam_node):
     """camera.cc:140-166: intrinsics [fx,fy,cx,cy], 5 distortion coeffs, Tbc."""

@@ -87,13 +87,18 @@ def match_lines_by_points(rel0, rel1, match_idx1, match_mask, min_votes: int = 2
 
     row_best = jnp.argmax(votes, axis=1).astype(jnp.int32)
     col_best = jnp.argmax(votes, axis=0).astype(jnp.int32)
-    l0 = jnp.arange(votes.shape[0], dtype=jnp.int32)
-    best_v = jnp.take_along_axis(votes, row_best[:, None], axis=1)[:, 0]
-    mutual = col_best[row_best] == l0
+    # reduction forms of value-at-argmax / mutuality / n1[row_best]: TPU
+    # lowers 1-D gathers to serial dynamic-slices; these stay on the VPU
+    best_v = jnp.max(votes, axis=1)
+    ioj = jax.lax.broadcasted_iota(jnp.int32, votes.shape, 1)
+    ioi = jax.lax.broadcasted_iota(jnp.int32, votes.shape, 0)
+    at_best = ioj == row_best[:, None]
+    mutual = jnp.any(at_best & (col_best[None, :] == ioi), axis=1)
 
     n0 = jnp.sum(rel0, axis=1).astype(jnp.float32)  # (L0,)
     n1 = jnp.sum(rel1, axis=1).astype(jnp.float32)  # (L1,)
-    denom = jnp.minimum(n0, n1[row_best])
+    n1_at = jnp.max(jnp.where(at_best, n1[None, :], -jnp.inf), axis=1)
+    denom = jnp.minimum(n0, n1_at)
     score = best_v * best_v / jnp.clip(denom, 1.0)
 
     ok = mutual & (best_v >= min_votes) & (score >= min_score)

@@ -301,10 +301,13 @@ class LoiHeadS1(nn.Module):
             # (exactly one 1.0 per row: value·1 + Σ0 = value)
             l = idx.shape[0]
             ioj = jax.lax.broadcasted_iota(jnp.int32, (l, j), 1)
+            exact = jax.lax.Precision.HIGHEST  # one-hot · f32 stays bit-exact
             f_ep1 = jnp.dot((ioj == idx[:, 0:1]).astype(f_junc.dtype), f_junc,
-                            preferred_element_type=f_junc.dtype)  # (L, 128)
+                            preferred_element_type=f_junc.dtype,
+                            precision=exact)  # (L, 128)
             f_ep2 = jnp.dot((ioj == idx[:, 1:2]).astype(f_junc.dtype), f_junc,
-                            preferred_element_type=f_junc.dtype)
+                            preferred_element_type=f_junc.dtype,
+                            precision=exact)
         else:
             e1 = lines[:, 0:2]
             e2 = lines[:, 2:4]

@@ -21,6 +21,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# TPU matmuls downcast f32 operands to bf16 at DEFAULT precision; HIGHEST
+# (bf16x3/x6 passes) represents each f32 operand exactly, so a one-hot row
+# (exact 1.0/0.0) times an f32 table is still BIT-exact. For bf16 tables a
+# single pass is already exact; HIGHEST costs nothing extra there.
+_EXACT = jax.lax.Precision.HIGHEST
+
 _SINGLE_STAGE_MAX_ROWS = 4096
 
 
@@ -32,10 +38,15 @@ def take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     r, c = table.shape
     n = idx.shape[0]
     idx = jnp.clip(idx, 0, r - 1)
+    if jax.default_backend() != "tpu":
+        # CPU/GPU have real vector gathers; the dense one-hot would turn an
+        # O(N·C) lookup into an O(N·R·C) matmul there. Same values (clip
+        # semantics above), different lowering.
+        return jnp.take(table, idx, axis=0)
     if r <= _SINGLE_STAGE_MAX_ROWS:
         io = jax.lax.broadcasted_iota(jnp.int32, (n, r), 1)
         out = jnp.dot((io == idx[:, None]).astype(table.dtype), table,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32, precision=_EXACT)
         return out.astype(table.dtype)
     rh = 1 << ((r.bit_length() - 1) // 2)
     while r % rh:
@@ -44,17 +55,19 @@ def take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     if rh == 1:  # odd row count: fall back to the dense one-hot
         io = jax.lax.broadcasted_iota(jnp.int32, (n, r), 1)
         out = jnp.dot((io == idx[:, None]).astype(table.dtype), table,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32, precision=_EXACT)
         return out.astype(table.dtype)
     hi = idx // rw
     lo = idx % rw
     t2 = table.reshape(rh, rw * c)
     ioh = jax.lax.broadcasted_iota(jnp.int32, (n, rh), 1)
     rows = jnp.dot((ioh == hi[:, None]).astype(table.dtype), t2,
-                   preferred_element_type=jnp.float32)  # (n, rw·c)
+                   preferred_element_type=jnp.float32,
+                   precision=_EXACT)  # (n, rw·c)
     iow = jax.lax.broadcasted_iota(jnp.int32, (n, rw), 1)
     m = (iow == lo[:, None]).astype(rows.dtype)
-    out = jnp.einsum("nw,nwc->nc", m, rows.reshape(n, rw, c))
+    out = jnp.einsum("nw,nwc->nc", m, rows.reshape(n, rw, c),
+                     precision=_EXACT)
     return out.astype(table.dtype)
 
 

@@ -98,10 +98,14 @@ def sample_descriptors(
     w_se = (ix - ix_nw.astype(ix.dtype)) * (iy - iy_nw.astype(iy.dtype))
 
     # Gather (N, C) per corner: index the (C, Hc, Wc) map at flat positions.
-    flat = desc_map.reshape(c, hc * wc)
+    # Routed through the MXU one-hot path on TPU (serial dynamic-slice
+    # avoidance, bit-exact); plain gather elsewhere.
+    from airslam_tpu.ops import gather as _gather
+
+    flat_t = desc_map.reshape(c, hc * wc).T  # (Hc·Wc, C)
 
     def gather(yy, xx):
-        return flat[:, yy * wc + xx].T  # (N, C)
+        return _gather.take_rows(flat_t, yy * wc + xx)  # (N, C)
 
     out = (
         gather(iy_nw, ix_nw) * w_nw[:, None]

@@ -38,9 +38,15 @@ def mutual_match(
     masked = jnp.where(mask0[:, None] & mask1[None, :], scores, jnp.full_like(scores, _NEG))
     row_best = jnp.argmax(masked, axis=1).astype(jnp.int32)  # (N0,)
     col_best = jnp.argmax(masked, axis=0).astype(jnp.int32)  # (N1,)
-    row_val = jnp.take_along_axis(masked, row_best[:, None], axis=1)[:, 0]
-    n0 = scores.shape[0]
-    mutual = col_best[row_best] == jnp.arange(n0, dtype=jnp.int32)
+    # value-at-argmax == row max, and mutuality (col_best[row_best[i]] == i)
+    # == ∃j: row_best[i]==j ∧ col_best[j]==i — both expressible as reductions
+    # over the (N0, N1) plane already in registers, avoiding TPU serial
+    # dynamic-slice gathers entirely
+    row_val = jnp.max(masked, axis=1)
+    n0, n1 = scores.shape
+    ioj = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 1)
+    ioi = jax.lax.broadcasted_iota(jnp.int32, (n0, n1), 0)
+    mutual = jnp.any((ioj == row_best[:, None]) & (col_best[None, :] == ioi), axis=1)
     score = jnp.exp(row_val)
     ok = mutual & (score > threshold) & mask0
     return Matches(

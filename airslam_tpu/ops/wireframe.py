@@ -235,7 +235,8 @@ def collect_junction_keypoints(
     # junction stage, vs ~0.27 GFLOP ≈ µs for the matmul form
     ioh = jax.lax.broadcasted_iota(jnp.int32, (n, h), 1)
     rows = jnp.dot((ioh == ys_i[:, None]).astype(heat.dtype), heat,
-                   preferred_element_type=jnp.float32)  # (n, w)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # (n, w)
     iow = jax.lax.broadcasted_iota(jnp.int32, (n, w), 1)
     score_at = jnp.sum(rows * (iow == xs_i[:, None]),
                        axis=1).astype(heat.dtype)  # (n,)

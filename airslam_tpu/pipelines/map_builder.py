@@ -25,6 +25,7 @@ import dataclasses
 from typing import List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 try:
@@ -100,6 +101,19 @@ class MapBuilder:
         ml, mr = self._maps
         if ml is None:
             return image_left, image_right
+        from airslam_tpu.ops import remap_tiled
+
+        if remap_tiled.available():
+            pl_, pr_ = self.camera.remap_plans() if hasattr(
+                self.camera, "remap_plans") else (None, None)
+            if pl_ is not None and pr_ is not None:
+                # device-resident: the tiled Pallas kernel rectifies on-chip
+                # and the arrays feed detect() without a host round trip
+                l = remap_tiled.remap_planned(
+                    jnp.asarray(image_left, jnp.float32), pl_)
+                r = remap_tiled.remap_planned(
+                    jnp.asarray(image_right, jnp.float32), pr_)
+                return l, r
         from airslam_tpu.ops.gridsample import remap
 
         l = np.asarray(remap(jnp.asarray(image_left, jnp.float32), ml))
@@ -126,7 +140,8 @@ class MapBuilder:
             # junctions ride along (same fused program): keyframes need them
             # for the refiner's junction vocabulary and the reloc
             # structure-graph re-rank (map_refiner.cc:956-999)
-            feats = self.detector.detect(np.stack([left, right]),
+            stack = jnp.stack if isinstance(left, jax.Array) else np.stack
+            feats = self.detector.detect(stack([left, right]),
                                          detect_junctions=True)
             import jax.tree_util as jtu
 

@@ -100,10 +100,24 @@ class MapUser:
             raise RuntimeError("detector required for image queries")
         ml, _ = self.map.camera.rectify_maps()
         if ml is not None:
-            from airslam_tpu.ops.gridsample import remap
+            from airslam_tpu.ops import remap_tiled
 
-            image = np.asarray(remap(jnp.asarray(image, jnp.float32), ml))
-        feats = self.detector.detect(np.asarray(image)[None], detect_junctions=True)
+            plan = None
+            if remap_tiled.available() and hasattr(self.map.camera,
+                                                   "remap_plans"):
+                plan, _ = self.map.camera.remap_plans()
+            if plan is not None:
+                image = remap_tiled.remap_planned(
+                    jnp.asarray(image, jnp.float32), plan)
+            else:
+                from airslam_tpu.ops.gridsample import remap
+
+                image = np.asarray(remap(jnp.asarray(image, jnp.float32), ml))
+        import jax as _jax
+
+        batch = (jnp.stack([image]) if isinstance(image, _jax.Array)
+                 else np.asarray(image)[None])
+        feats = self.detector.detect(batch, detect_junctions=True)
         import jax.tree_util as jtu
 
         f0 = jtu.tree_map(lambda t: np.asarray(t[0]), feats)
