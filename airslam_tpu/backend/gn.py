@@ -268,6 +268,47 @@ def line_chi2(problem: BAProblem, intr, sigma=None):
     return jnp.sum(r * r * row_mask, axis=-1) * s
 
 
+def solve_spd_small(H, b):
+    """Solve ``H x = b`` for a small (static n ≤ ~16) symmetric
+    positive-definite ``H`` via a fully unrolled Cholesky factorization.
+
+    ``jnp.linalg.solve`` lowers to LU with partial pivoting — on TPU a
+    serial While loop of dynamic-slice/update steps whose fixed latency
+    dominates each LM iteration of the tiny tracking systems (6×6 vision,
+    15×15 VI). The damped LM Hessian is SPD by construction (JᵀWJ + λI with
+    λ > 0), so Cholesky needs no pivoting and the unrolled form fuses into
+    straight-line vector ops. Exact (not approximate): same O(n³/6)
+    arithmetic as LAPACK potrf/potrs, just statically scheduled.
+    """
+    n = H.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = H[j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(s)
+        L[j][j] = d
+        inv = 1.0 / d
+        for i in range(j + 1, n):
+            t = H[i, j]
+            for k in range(j):
+                t = t - L[i][k] * L[j][k]
+            L[i][j] = t * inv
+    y = [None] * n  # forward: L y = b
+    for i in range(n):
+        s = b[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    x = [None] * n  # back: Lᵀ x = y
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def _huber_cost(chi2, delta2, active):
     lin = 2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12)) - delta2
     return jnp.sum(jnp.where(active, jnp.where(chi2 <= delta2, chi2, lin), 0.0))

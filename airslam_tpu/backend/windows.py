@@ -163,7 +163,7 @@ def _pose_only_fast(problem, intr, cfg, rounds: int, iters: int):
             H = H + lam * jnp.eye(6, dtype=dtype)
             diag = jnp.diagonal(H)
             H = H + jnp.diag(jnp.where(diag < 1e-10, 1.0, 0.0))
-            dx = jnp.linalg.solve(H, b)
+            dx = gn.solve_spd_small(H, b)
             R2, t2 = res.retract_pose(R, t, dx)
             new_cost = cost_of(R2, t2, p_mask, l_mask)
             accept = new_cost < cost
@@ -316,7 +316,7 @@ def _pose_only_fast_vi(problem, intr, cfg, rounds: int, iters: int):
             H = H + lam * jnp.eye(15, dtype=dtype)
             diag = jnp.diagonal(H)
             H = H + jnp.diag(jnp.where(diag < 1e-10, 1.0, 0.0))
-            dx = jnp.linalg.solve(H, b)
+            dx = gn.solve_spd_small(H, b)
             R2, t2 = res.retract_pose(R, t, dx[0:6])
             v2 = v + dx[6:9]
             bg2 = bg + dx[9:12]

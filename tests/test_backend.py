@@ -323,3 +323,24 @@ def test_pose_only_fast_matches_general():
     assert (np.asarray(pin1)[:, 0] == np.asarray(pin2)[:, 0]).all()
     # and both recover the true pose despite the outliers
     assert np.linalg.norm(np.asarray(o1.frames.twb[0]) - twb_t) < 1e-6
+
+
+def test_solve_spd_small_matches_lu():
+    """The unrolled-Cholesky small-SPD solver (used per LM iteration by the
+    tracking fast paths, where jnp.linalg.solve's pivoted LU while-loop
+    dominates TPU latency) is exact: same solution as LU on random damped
+    Gauss-Newton-shaped systems at every size the fast paths use."""
+    rng = np.random.RandomState(3)
+    for n in (3, 6, 15):
+        for lam in (1e-5, 1e-3, 1e3):
+            J = rng.randn(40, n)
+            H = J.T @ J + lam * np.eye(n)
+            b = rng.randn(n)
+            x = np.asarray(gn.solve_spd_small(jnp.asarray(H), jnp.asarray(b)))
+            ref = np.linalg.solve(H, b)
+            np.testing.assert_allclose(x, ref, rtol=0, atol=1e-9 * max(1.0, np.abs(ref).max()))
+    # jit + grad-through (it sits inside a scanned LM body)
+    H = jnp.asarray(np.eye(6) * 2.0)
+    b = jnp.arange(6.0)
+    x = jax.jit(gn.solve_spd_small)(H, b)
+    np.testing.assert_allclose(np.asarray(x), np.arange(6.0) / 2.0, atol=1e-12)
