@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--max_frames", type=int, default=0)
     ap.add_argument("--pipelined", action="store_true",
                     help="double-buffer device detection with host tracking")
+    ap.add_argument("--mesh_pipelined", action="store_true",
+                    help="frame-parallel chunked detection over every device "
+                         "in the mesh, overlapped with host tracking")
     ap.add_argument("--jax_pnp", action="store_true",
                     help="device-resident RANSAC PnP instead of cv2")
     from airslam_tpu.utils import device as device_util
@@ -78,7 +81,15 @@ def main():
     print(f"dataset: {n} frames")
 
     t_start = time.perf_counter()
-    if args.pipelined:
+    if args.mesh_pipelined:
+        from airslam_tpu.parallel.mesh import make_mesh
+        from airslam_tpu.parallel.pipeline import MeshPipelinedRunner
+
+        MeshPipelinedRunner(builder, make_mesh()).run(
+            dataset, max_frames=n,
+            progress=lambda i: print(f"frame {i}/{n}") if i % 50 == 0 else None,
+        )
+    elif args.pipelined:
         from airslam_tpu.pipelines.map_builder import PipelinedRunner
 
         PipelinedRunner(builder).run(

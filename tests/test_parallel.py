@@ -115,3 +115,67 @@ def test_sharded_detect_matches_single_device():
     assert (np.asarray(out.kp_mask) == np.asarray(ref.kp_mask)).all()
     np.testing.assert_allclose(np.asarray(out.lines), np.asarray(ref.lines),
                                atol=1e-2)
+
+
+def test_mesh_pipelined_runner_matches_sequential():
+    """MeshPipelinedRunner (frame-parallel chunked detection over the mesh,
+    overlapped with host tracking) must produce the same trajectory as the
+    sequential loop — including a final partial chunk that exercises the
+    mesh padding path."""
+    from airslam_tpu.parallel.pipeline import MeshPipelinedRunner
+    from airslam_tpu.pipelines.map_builder import MapBuilder, KeyframeConfig
+    from tests.test_vo_pipeline import (
+        FakeCamera, FakeMatcher, make_world, circle_trajectory, render_features,
+    )
+    import jax.tree_util as jtu
+
+    cam = FakeCamera()
+    pts, desc = make_world(seed=21)
+    traj = circle_trajectory(10)
+    rng_render = np.random.RandomState(77)
+    rendered = [render_features(pts, desc, T, cam, rng_render) for T in traj]
+
+    class ChunkStubDetector:
+        """Batch-aware stub: serves precomputed per-frame features in call
+        order, stacked to whatever (padded) batch sharded_detect asks for."""
+
+        def __init__(self):
+            self.i = 0
+
+        def detect(self, images, detect_junctions=False):
+            outs = []
+            for _ in range(int(images.shape[0]) // 2):
+                if self.i < len(rendered):
+                    fl, fr, _ = rendered[self.i]
+                    self.i += 1
+                else:  # mesh padding rows — dropped by sharded_detect's slice
+                    fl, fr, _ = rendered[0]
+                outs.append(fl)
+                outs.append(fr)
+            return jtu.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *outs
+            )
+
+    class StubDataset:
+        def __len__(self):
+            return len(traj)
+
+        def get(self, i):
+            z = np.zeros((480, 752), np.float32)
+            return i * 0.1, z, z, None
+
+    kf = KeyframeConfig(min_init_stereo_feature=50, max_num_match=60,
+                        tracking_point_rate=0.5)
+    b_seq = MapBuilder(cam, None, FakeMatcher(), kf_config=kf)
+    for i, (fl, fr, pairs) in enumerate(rendered):
+        b_seq.track_features(i * 0.1, fl, fr, pairs)
+
+    mesh = pmesh.make_mesh(8)
+    b_mesh = MapBuilder(cam, ChunkStubDetector(), FakeMatcher(), kf_config=kf)
+    runner = MeshPipelinedRunner(b_mesh, mesh)
+    assert runner.chunk == 4  # 8 chips / 2 images per stereo frame
+    runner.run(StubDataset())
+
+    assert len(b_mesh.trajectory) == len(b_seq.trajectory)
+    for (t0, T0), (t1, T1) in zip(b_seq.trajectory, b_mesh.trajectory):
+        assert np.allclose(T0, T1, atol=1e-9)
