@@ -402,6 +402,13 @@ def pose_only_optimization(
     )
     F = problem.frames.Rwb.shape[0]
     if problem.imu is None and F == 1:
+        from . import pose_gn_pallas
+
+        if pose_gn_pallas.available():
+            # whole-solver VMEM kernel: same math, one TPU program instead
+            # of ~30 sequential scan-iteration kernel chains
+            return pose_gn_pallas.pose_only_fast_pallas(
+                problem, intr, cfg, rounds=rounds, iters=iters)
         return _pose_only_fast_j(problem, intr, cfg, rounds=rounds, iters=iters)
     vi_shape = (problem.imu is not None and F == 2
                 and problem.imu.idx_i.shape[0] == 1)

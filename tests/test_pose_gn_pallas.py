@@ -1,0 +1,115 @@
+"""Whole-solver Pallas tracking-GN kernel vs the scan solver.
+
+The kernel re-derives the point/line pose Jacobians analytically (the scan
+solver uses jacfwd), so this gate is what certifies the math: same inputs,
+same rounds/iters/LM schedule -> same pose, same inlier labels."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from airslam_tpu.backend import gn, windows
+from airslam_tpu.backend.pose_gn_pallas import pose_only_fast_pallas
+from airslam_tpu.core import lie
+from tests.synthetic import default_intrinsics
+
+F32 = jnp.float32
+
+
+def _tracking_problem(rng, K=96, M=12, outliers=True, dtype=F32):
+    F32_ = dtype
+    intr = default_intrinsics(dtype)
+    fx, fy = float(intr.fx), float(intr.fy)
+    cx, cy, bf = float(intr.cx), float(intr.cy), float(intr.bf)
+
+    pts = rng.randn(K, 3) * 2 + [0, 0, 8]
+    xi = np.array([0.02, -0.03, 0.01, 0.05, -0.04, 0.06])
+    Rwb_t = np.asarray(lie.so3_exp(jnp.asarray(xi[:3])), np.float64)
+    twb_t = xi[3:]
+    Rcw, tcw = Rwb_t.T, -Rwb_t.T @ twb_t
+
+    pc = (Rcw @ pts.T).T + tcw
+    u = pc[:, 0] / pc[:, 2] * fx + cx
+    v = pc[:, 1] / pc[:, 2] * fy + cy
+    ur = u - bf / pc[:, 2]
+    obs = np.stack([u, v, np.where(np.arange(K) % 2 == 0, ur, -1.0)], -1)
+    if outliers:
+        out_idx = rng.choice(K, K // 5, replace=False)
+        obs[out_idx, :2] += rng.randn(len(out_idx), 2) * 40
+
+    # world lines: point q + unit direction d, Plücker w = q × d
+    q = rng.randn(M, 3) * 1.5 + [0, 0, 8]
+    d = rng.randn(M, 3)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    w = np.cross(q, d)
+    lines = np.concatenate([w, d], axis=1)
+    obs8 = np.zeros((M, 8))
+    for i in range(M):
+        e = np.stack([q[i] - 1.2 * d[i], q[i] + 1.2 * d[i]])
+        ec = (Rcw @ e.T).T + tcw
+        uu = ec[:, 0] / ec[:, 2] * fx + cx
+        vv = ec[:, 1] / ec[:, 2] * fy + cy
+        uur = uu - bf / ec[:, 2]
+        obs8[i] = [uu[0], vv[0], uu[1], vv[1], uur[0], vv[0], uur[1], vv[1]]
+    if outliers:
+        obs8[rng.choice(M, 2, replace=False), :2] += 30.0
+    l_stereo = np.arange(M) % 3 != 0
+
+    F = 1
+    frames = gn.FrameStates(
+        Rwb=jnp.asarray(np.stack([np.eye(3)] * F), F32_),
+        twb=jnp.zeros((F, 3), F32_), vel=jnp.zeros((F, 3), F32_),
+        bg=jnp.zeros((F, 3), F32_), ba=jnp.zeros((F, 3), F32_))
+    prob = gn.BAProblem(
+        frames=frames,
+        pose_fixed=jnp.asarray([False]),
+        vel_fixed=jnp.ones(F, bool),
+        points=jnp.asarray(pts, F32_), point_fixed=jnp.ones(K, bool),
+        point_obs=jnp.asarray(obs[:, None, :], F32_),
+        point_obs_mask=jnp.ones((K, F), bool),
+        lines=jnp.asarray(lines, F32_), line_fixed=jnp.ones(M, bool),
+        line_obs=jnp.asarray(obs8[:, None, :], F32_),
+        line_obs_stereo=jnp.asarray(l_stereo[:, None]),
+        line_obs_mask=jnp.ones((M, F), bool),
+        line_obs_sigma=jnp.full((M, F), 0.8, F32_),
+        Rwg=jnp.eye(3, dtype=F32), gravity_free=jnp.asarray(0.0, F32_),
+        imu=None, Rcb=jnp.eye(3, dtype=F32), tcb=jnp.zeros(3, F32_))
+    return prob, intr, twb_t
+
+
+def test_pallas_pose_gn_matches_scan_solver():
+    """The scan solver runs in f64 on CPU (x64 tangents), the kernel in f32
+    (its TPU precision): identical math, so the poses agree to f32 solver
+    accuracy and the inlier labels (clean inliers vs 30-40 px outliers)
+    match exactly."""
+    rng = np.random.RandomState(5)
+    prob64, intr64, twb_t = _tracking_problem(rng, dtype=jnp.float64)
+    rng = np.random.RandomState(5)
+    prob32, intr32, _ = _tracking_problem(rng, dtype=F32)
+    cfg = gn.BAConfig()
+
+    ref, pin_r, lin_r, n_r = windows._pose_only_fast(
+        prob64, intr64, cfg, rounds=3, iters=10)
+    out, pin, lin, n = pose_only_fast_pallas(
+        prob32, intr32, cfg, rounds=3, iters=10, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out.frames.Rwb[0]),
+                               np.asarray(ref.frames.Rwb[0]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.frames.twb[0]),
+                               np.asarray(ref.frames.twb[0]), atol=1e-3)
+    assert (np.asarray(pin)[:, 0] == np.asarray(pin_r)[:, 0]).all()
+    assert (np.asarray(lin)[:, 0] == np.asarray(lin_r)[:, 0]).all()
+    assert int(n) == int(n_r)
+    # and it actually solved the problem
+    assert np.linalg.norm(np.asarray(out.frames.twb[0]) - twb_t) < 5e-3
+
+
+def test_pallas_pose_gn_fixed_pose_is_noop():
+    rng = np.random.RandomState(7)
+    prob, intr, _ = _tracking_problem(rng, outliers=False)
+    prob = prob._replace(pose_fixed=jnp.asarray([True]))
+    out, _, _, _ = pose_only_fast_pallas(prob, intr, gn.BAConfig(),
+                                         rounds=1, iters=3, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.frames.Rwb[0]), np.eye(3),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.frames.twb[0]), np.zeros(3),
+                               atol=1e-7)
