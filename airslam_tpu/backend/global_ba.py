@@ -505,10 +505,16 @@ def build_obs_table(n_landmarks: int, lidx: np.ndarray, mask: np.ndarray,
     return table
 
 def dense_to_sparse(prob: "gn.BAProblem", max_obs: int = 16,
-                    dtype=jnp.float64) -> SparseBAProblem:
+                    dtype=None) -> SparseBAProblem:
     """Convert a dense-grid ``gn.BAProblem`` (point observations) to the
     observation-list form. Host-side utility for handing a window problem to
-    the map-scale solver (and for equivalence tests / the multichip dryrun)."""
+    the map-scale solver (and for equivalence tests / the multichip dryrun).
+
+    ``dtype=None`` selects f64 when x64 is enabled, else the problem's own
+    dtype — requesting f64 in a non-x64 process emits truncation warnings."""
+    if dtype is None:
+        dtype = (jnp.float64 if jax.config.jax_enable_x64
+                 else prob.points.dtype)
     obs = np.asarray(prob.point_obs)
     mask = np.asarray(prob.point_obs_mask)
     P, F = mask.shape

@@ -36,6 +36,16 @@ import numpy as np
 
 
 def available() -> bool:
+    """True when the whole-solver kernel should serve F=1 vision tracking.
+
+    Opt-out escape hatch: set ``AIRSLAM_DISABLE_POSE_GN_PALLAS=1`` to force
+    the scan solver (``windows._pose_only_fast``) even on TPU — e.g. when a
+    Mosaic compile regression is suspected; the two paths are numerically
+    identical (tests/test_pose_gn_pallas.py)."""
+    import os
+
+    if os.environ.get("AIRSLAM_DISABLE_POSE_GN_PALLAS", "0") not in ("", "0"):
+        return False
     return jax.default_backend() == "tpu"
 
 
@@ -390,7 +400,9 @@ def pose_only_fast_pallas(problem, intr, cfg, rounds: int = 3, iters: int = 10,
     f32 = jnp.float32
     npts = problem.points.shape[0]
     nlns = problem.lines.shape[0]
-    np_pad = -npts % 128
+    # pad both edge families to at least one full 128-lane block: a
+    # zero-width VMEM BlockSpec (npts == 0 or nlns == 0) fails pallas_call
+    np_pad = max(0, 128 - npts) if npts < 128 else (-npts % 128)
     nl_pad = max(0, 128 - nlns) if nlns < 128 else (-nlns % 128)
 
     pts = jnp.pad(problem.points.astype(f32).T, ((0, 0), (0, np_pad)))
@@ -422,8 +434,10 @@ def pose_only_fast_pallas(problem, intr, cfg, rounds: int = 3, iters: int = 10,
         intr.fx, intr.fy, intr.cx, intr.cy, intr.bf]).astype(f32))
     pose_free = (~problem.pose_fixed[0]).astype(f32)
     scal = scal.at[0, 29].set(pose_free)
-    scal = scal.at[0, 30].set(1e-5 * 100.0)  # lam0, windows.py:178
-    scal = scal.at[0, 31].set(2.0)           # nu0
+    from airslam_tpu.backend.windows import POSE_LM_LAM0, POSE_LM_NU0
+
+    scal = scal.at[0, 30].set(POSE_LM_LAM0)  # shared LM damping schedule
+    scal = scal.at[0, 31].set(POSE_LM_NU0)
 
     pose, p_in, l_in = _call(pts, pobs, pvec, lns, lobs, lvec, scal,
                              rounds, iters, interpret)

@@ -28,6 +28,12 @@ from airslam_tpu.backend import gn
 from airslam_tpu.backend import residuals as res
 from airslam_tpu.core import lie
 
+# LM damping schedule shared by the scan solvers below and the whole-solver
+# Pallas kernel (backend/pose_gn_pallas.py) — the two "identical numerics"
+# tracking paths must never diverge, so both import these.
+POSE_LM_LAM0 = 1e-5 * 100.0  # g2o: tau * max(diag(H)); diag ~O(1e2)
+POSE_LM_NU0 = 2.0
+
 
 @functools.partial(jax.jit, static_argnames=("iters1", "iters2", "early_exit"))
 def local_ba(
@@ -175,9 +181,9 @@ def _pose_only_fast(problem, intr, cfg, rounds: int, iters: int):
             return (R3, t3, lam2, nu2, cost2), None
 
         cost0 = cost_of(Rwb, twb, p_mask, l_mask)
-        lam0 = jnp.asarray(1e-5 * 100.0, dtype)
+        lam0 = jnp.asarray(POSE_LM_LAM0, dtype)
         (R, t, _, _, _), _ = jax.lax.scan(
-            body, (Rwb, twb, lam0, jnp.asarray(2.0, dtype), cost0),
+            body, (Rwb, twb, lam0, jnp.asarray(POSE_LM_NU0, dtype), cost0),
             None, length=iters,
         )
         # relabel over the FULL base observation set
@@ -331,9 +337,9 @@ def _pose_only_fast_vi(problem, intr, cfg, rounds: int, iters: int):
             return carry2, None
 
         cost0 = cost_of(R, t, v, bg, ba, p_mask, l_mask)
-        lam0 = jnp.asarray(1e-5 * 100.0, dtype)
+        lam0 = jnp.asarray(POSE_LM_LAM0, dtype)
         (R, t, v, bg, ba, _, _, _), _ = jax.lax.scan(
-            body, (R, t, v, bg, ba, lam0, jnp.asarray(2.0, dtype), cost0),
+            body, (R, t, v, bg, ba, lam0, jnp.asarray(POSE_LM_NU0, dtype), cost0),
             None, length=iters,
         )
         pr, pz, _, lr, _ = vis_residuals(R, t, False)

@@ -1,5 +1,6 @@
 """Synthetic scene generation shared by backend tests and demos."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -7,7 +8,14 @@ from airslam_tpu.backend import gn
 from airslam_tpu.core.camera import Intrinsics
 
 
-def default_intrinsics(dtype=jnp.float64):
+def _default_dtype():
+    """f64 when x64 is enabled (the test suite), f32 otherwise (the driver's
+    multichip dryrun) — unconditional f64 emits truncation warnings there."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def default_intrinsics(dtype=None):
+    dtype = dtype or _default_dtype()
     return Intrinsics(
         fx=jnp.asarray(450.0, dtype), fy=jnp.asarray(450.0, dtype),
         cx=jnp.asarray(376.0, dtype), cy=jnp.asarray(240.0, dtype),
@@ -84,8 +92,9 @@ def build_problem(
     scene, Rwb=None, twb=None, points=None,
     pose_fixed=None, point_fixed=None, lines=None, line_obs=None,
     line_obs_mask=None, line_obs_stereo=None, line_fixed=None, imu=None,
-    dtype=jnp.float64,
+    dtype=None,
 ):
+    dtype = dtype or _default_dtype()
     f = scene["Rwb"].shape[0]
     p = scene["points"].shape[0]
     Rwb = scene["Rwb"] if Rwb is None else Rwb

@@ -73,6 +73,12 @@ def test_dryrun_multichip_standalone():
     )
     assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
     assert "dryrun_multichip OK" in r.stdout
+    # the driver records this tail verbatim: all five paths, warning-free
+    for line in ("dryrun sparse-globalba OK", "dryrun window-ba OK",
+                 "dryrun sharded-detect OK", "dryrun mesh-pipeline OK"):
+        assert line in r.stdout, f"missing {line!r}: {r.stdout}"
+    assert "UserWarning" not in r.stderr, f"polluted stderr: {r.stderr}"
+    assert "truncated to dtype" not in r.stderr, r.stderr
 
 
 def test_training_reduces_loss():

@@ -113,3 +113,51 @@ def test_pallas_pose_gn_fixed_pose_is_noop():
                                atol=1e-7)
     np.testing.assert_allclose(np.asarray(out.frames.twb[0]), np.zeros(3),
                                atol=1e-7)
+
+
+def test_pallas_pose_gn_zero_points():
+    """Degenerate lines-only problem (npts rounds to a zero-width VMEM block
+    without the min-128 pad guard): must still run and match the scan solver."""
+    rng = np.random.RandomState(11)
+    prob64, intr64, _ = _tracking_problem(rng, K=1, M=24, outliers=False,
+                                          dtype=jnp.float64)
+    rng = np.random.RandomState(11)
+    prob32, intr32, _ = _tracking_problem(rng, K=1, M=24, outliers=False)
+    # mask the single point out entirely -> effectively zero point edges
+    prob64 = prob64._replace(point_obs_mask=jnp.zeros_like(prob64.point_obs_mask))
+    prob32 = prob32._replace(point_obs_mask=jnp.zeros_like(prob32.point_obs_mask))
+    cfg = gn.BAConfig()
+    ref, _, lin_r, _ = windows._pose_only_fast(prob64, intr64, cfg,
+                                               rounds=2, iters=8)
+    out, _, lin, _ = pose_only_fast_pallas(prob32, intr32, cfg,
+                                           rounds=2, iters=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.frames.twb[0]),
+                               np.asarray(ref.frames.twb[0]), atol=1e-3)
+    assert (np.asarray(lin) == np.asarray(lin_r)).all()
+
+
+def test_pallas_opt_out_env(monkeypatch):
+    """AIRSLAM_DISABLE_POSE_GN_PALLAS is the escape hatch back to the scan
+    solver (ADVICE r3): available() must honor it regardless of backend."""
+    from airslam_tpu.backend import pose_gn_pallas
+
+    monkeypatch.setenv("AIRSLAM_DISABLE_POSE_GN_PALLAS", "1")
+    assert pose_gn_pallas.available() is False
+    monkeypatch.setenv("AIRSLAM_DISABLE_POSE_GN_PALLAS", "0")
+    # on CPU test hosts this is False anyway; the flag must not force True
+    assert pose_gn_pallas.available() == (
+        __import__("jax").default_backend() == "tpu")
+
+
+def test_lm_schedule_constants_shared():
+    """The scan solver and the Pallas kernel read the SAME damping schedule
+    (windows.POSE_LM_LAM0/NU0) — they must exist and be what the g2o parity
+    tests were calibrated against."""
+    assert windows.POSE_LM_LAM0 == 1e-5 * 100.0
+    assert windows.POSE_LM_NU0 == 2.0
+    import inspect
+
+    from airslam_tpu.backend import pose_gn_pallas
+
+    src = inspect.getsource(pose_gn_pallas)
+    assert "POSE_LM_LAM0" in src and "POSE_LM_NU0" in src
