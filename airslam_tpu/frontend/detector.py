@@ -52,6 +52,10 @@ class DetectorConfig:
     # TPU (~5 ms/pair), while ≤ max_lines (512) survive dedup anyway — 4096
     # candidates is an 8× safety margin at 12× less work.
     max_proposals: int = 4096
+    # window-max prestage width for the prefilter (best proposal per `window`
+    # consecutive proposals = per 2 cells, then top-max_proposals over the
+    # window maxima). 1 disables it (flat top-k over all proposals).
+    proposal_window: int = 6
     # "s1": the import-compatible stage-1 head (plnet_s1.onnx architecture,
     # loads the reference's trained checkpoint); "fast": the narrower
     # 16-sample head. Both fuse into the same per-frame program.
@@ -101,11 +105,33 @@ def _detect_single(
         from airslam_tpu.ops import gather
         from airslam_tpu.ops.detect import top_k
 
-        logit, sel = top_k(logit, cfg.max_proposals)
-        # 4096-row gather from the 49152-proposal table: serial
-        # dynamic-slices on TPU (~0.3 ms hidden in the fused frontend) →
-        # two-stage one-hot MXU contraction
-        p = gather.take_rows(p, sel)
+        n = p.shape[0]
+        win = cfg.proposal_window
+        if win > 1 and n % win == 0 and n // win >= cfg.max_proposals:
+            # window-max prestage: keep each win-proposal window's best, then
+            # exact top-k over the n/win window maxima. A flat top-4096 of
+            # 49152 falls back to a full sort on TPU (~0.26 ms/frame traced;
+            # approx_max_k degenerates at that k/n ratio); the windowed form
+            # sorts 8192. In-window runner-ups are proposals of the SAME 2
+            # cells that dedup_pairs would collapse anyway (the prefilter is
+            # already an 8× margin over the 512 kept lines).
+            lg = logit.reshape(-1, win)
+            wmax = jnp.max(lg, axis=1)
+            warg = jnp.argmax(lg, axis=1).astype(jnp.int32)
+            logit, selw = top_k(wmax, cfg.max_proposals, exact=True)
+            aw = gather.take_values(warg, selw)
+            pw = gather.take_rows(p.reshape(-1, win * 4), selw)
+            onew = (jax.lax.broadcasted_iota(
+                jnp.int32, (cfg.max_proposals, win), 1) == aw[:, None])
+            p = jnp.einsum("kw,kwf->kf", onew.astype(p.dtype),
+                           pw.reshape(-1, win, 4),
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            logit, sel = top_k(logit, cfg.max_proposals)
+            # row gather from the proposal table: serial dynamic-slices on
+            # TPU (~0.3 ms hidden in the fused frontend) → two-stage one-hot
+            # MXU contraction
+            p = gather.take_rows(p, sel)
     keep, jmin, jmax = wireframe.match_proposals(
         p, logit, juncs, cfg.junction_match_threshold
     )

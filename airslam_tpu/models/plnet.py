@@ -35,12 +35,43 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Fixed decode budget (static shapes for XLA).
 NUM_JUNCTIONS = 300  # top-k junctions, = JN in plnet.cpp:284
 NUM_PROPOSALS_PER_CELL = 3  # lines_pred leading dim 128*128*3 (plnet.cpp:469)
 LOI_POINTS = 16  # samples along each candidate line
 LOI_DIM = 128
+
+
+class _ConvParams(nn.Module):
+    """Parameter anchor with ``nn.Conv``'s exact param tree (kernel/bias) and
+    init — declares a conv's weights WITHOUT executing it, so several logical
+    convs sharing one input can be executed as a single fused convolution
+    (same math per output channel; one HBM pass over the input instead of N).
+    Checkpoint trees are unchanged: each logical conv keeps its own name."""
+
+    features: int
+    in_features: int
+    ksize: tuple = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            self.ksize + (self.in_features, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+def _conv2d(x, kernel, bias, stride=(1, 1), padding="SAME"):
+    """NHWC conv in the array dtype (bias added in the same dtype, matching
+    nn.Conv's promotion rules)."""
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), stride, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias.astype(x.dtype)
 
 
 class PLNetBackbone(nn.Module):
@@ -66,10 +97,23 @@ class PLNetBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # space-to-depth as a 2×2 stride-2 IDENTITY convolution: channel
+        # 2a+b of output cell (i, j) is pixel (2i+a, 2j+b) — exactly the
+        # reshape/transpose s2d, but produced by the conv unit in its native
+        # layout. The explicit reshape+transpose lowered to layout copies
+        # worth ~0.27 ms/frame on TPU (the s2d reshape alone was the 3rd most
+        # expensive op in the traced frontend); a 6×6 stride-2 fold of s2d
+        # into conv1a was tried and is WORSE (~0.50 ms: Mosaic stages 1-input-
+        # channel convs through an internal s2d with pathological copies).
         b, h, w, c = x.shape
-        # space-to-depth: (B, H, W, 1) -> (B, H/2, W/2, 4)
-        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        eye4 = np.zeros((2, 2, c, 4 * c), np.float32)
+        for a in range(2):
+            for bb in range(2):
+                for ci in range(c):
+                    eye4[a, bb, ci, (2 * a + bb) * c + ci] = 1.0
+        x = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), jnp.asarray(eye4, self.dtype), (2, 2),
+            "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv1a")(x))
         x = nn.relu(nn.Conv(64, (3, 3), padding="SAME", dtype=self.dtype, name="conv1b")(x))
         x = nn.max_pool(x, (2, 2), strides=(2, 2))  # /4
@@ -104,20 +148,26 @@ class LineHeadTrunk(nn.Module):
     @nn.compact
     def __call__(self, c3, c4, c5=None, c6=None):
         b, h4, w4, _ = c3.shape
-
-        def up(t):
-            return jax.image.resize(t, (b, h4, w4, t.shape[-1]), "bilinear")
-
-        parts = [c3, up(c4)]
-        if c5 is not None:
-            parts.append(up(c5))
-        if c6 is not None:
-            parts.append(up(c6))
-        x = jnp.concatenate(parts, axis=-1)
+        parts = [c3, c4] + [t for t in (c5, c6) if t is not None]
         # 1×1 reduce before the 3×3: a 3×3 conv straight off the wide concat
         # would cost 4× more; reduce (1.2 GF) + 3×3 on 128 (4.8 GF) keeps the
-        # trunk 128-wide
-        x = nn.relu(nn.Conv(128, (1, 1), dtype=self.dtype, name="fuse0")(x))
+        # trunk 128-wide. Execution: the fuse0 kernel is split per pyramid
+        # level and applied AT SOURCE RESOLUTION, then upsampled and summed —
+        # 1×1 conv and bilinear resize are both linear so they commute; this
+        # never materializes the (B, 128², 512) concat (a pure layout copy
+        # that traced at ~0.08 ms/frame) and runs the deep levels' matmuls at
+        # 4×/16× fewer pixels.
+        k0, b0 = _ConvParams(128, 128 * len(parts), ksize=(1, 1),
+                             name="fuse0")()
+        acc = None
+        for i, t in enumerate(parts):
+            y = _conv2d(t.astype(self.dtype),
+                        k0[:, :, 128 * i:128 * (i + 1), :],
+                        jnp.zeros((128,), jnp.float32))
+            if y.shape[1] != h4:
+                y = jax.image.resize(y, (b, h4, w4, 128), "bilinear")
+            acc = y if acc is None else acc + y
+        x = nn.relu(acc + b0.astype(acc.dtype))
         x = nn.relu(nn.Conv(128, (3, 3), padding="SAME", dtype=self.dtype, name="fuse2")(x))
         return x
 
@@ -135,14 +185,21 @@ class PLNet(nn.Module):
     def __call__(self, image):
         feat, skips = PLNetBackbone(dtype=self.dtype, name="backbone")(image)
 
-        # -- SuperPoint heads (identical structure to models/superpoint.py) --
-        cpa = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="convPa")(feat))
+        # -- SuperPoint heads (identical structure to models/superpoint.py).
+        # convPa and convDa both 3×3-read the SAME stride-8 feature map: one
+        # fused 512-wide conv halves the feat HBM traffic (relu and the
+        # channel split commute).
+        kpa, bpa = _ConvParams(256, 128, name="convPa")()
+        kda, bda = _ConvParams(256, 128, name="convDa")()
+        pd = nn.relu(_conv2d(feat.astype(self.dtype),
+                             jnp.concatenate([kpa, kda], axis=-1),
+                             jnp.concatenate([bpa, bda])))
+        cpa, cda = pd[..., :256], pd[..., 256:]
         logits = nn.Conv(65, (1, 1), dtype=self.dtype, name="convPb")(cpa)
         prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., :64]
         b, hc, wc, _ = prob.shape
         scores = prob.reshape(b, hc, wc, 8, 8).transpose(0, 1, 3, 2, 4).reshape(b, hc * 8, wc * 8)
 
-        cda = nn.relu(nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="convDa")(feat))
         desc = nn.Conv(256, (1, 1), dtype=self.dtype, name="convDb")(cda).astype(jnp.float32)
         desc = desc / jnp.clip(jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12)
 
@@ -152,25 +209,39 @@ class PLNet(nn.Module):
         )
         bt, h4, w4, _ = trunk.shape
 
-        junc_heat = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype, name="junc_heat")(trunk)
-        junc_heat = jax.nn.sigmoid(junc_heat.astype(jnp.float32))[..., 0]
-        junc_offset = nn.Conv(2, (3, 3), padding="SAME", dtype=self.dtype, name="junc_off")(trunk)
-        junc_offset = jax.nn.sigmoid(junc_offset.astype(jnp.float32))  # in [0,1] cell units
-
+        # -- trunk heads: SEVEN logical 3×3 convs over the same (B, 128²,
+        # 128) trunk map, executed as ONE fused conv. Per-channel math is
+        # identical to seven nn.Conv calls (weights concatenated on the
+        # output axis), but the trunk is read from HBM once instead of seven
+        # times — traced at ~1.0 ms/frame before (each small head ran at the
+        # trunk's full memory cost), ~0.17 ms fused.
         p = NUM_PROPOSALS_PER_CELL
-        line_raw = nn.Conv(p * 4, (3, 3), padding="SAME", dtype=self.dtype, name="line_pred")(trunk)
-        line_raw = line_raw.astype(jnp.float32) * self.offset_scale
+        head_specs = [("junc_heat", 1), ("junc_off", 2), ("line_pred", p * 4),
+                      ("line_logit", p), ("loi", LOI_DIM), ("loi_thin", 4),
+                      ("loi_aux", 4)]
+        kbs = [_ConvParams(f, 128, name=n)() for n, f in head_specs]
+        heads = _conv2d(trunk.astype(self.dtype),
+                        jnp.concatenate([k for k, _ in kbs], axis=-1),
+                        jnp.concatenate([bb for _, bb in kbs]))
+        o, i0 = {}, 0
+        for (n, f) in head_specs:
+            o[n] = heads[..., i0:i0 + f]
+            i0 += f
+
+        junc_heat = jax.nn.sigmoid(o["junc_heat"].astype(jnp.float32))[..., 0]
+        junc_offset = jax.nn.sigmoid(o["junc_off"].astype(jnp.float32))  # in [0,1] cell units
+
+        line_raw = o["line_pred"].astype(jnp.float32) * self.offset_scale
         cy = jax.lax.broadcasted_iota(jnp.float32, (h4, w4), 0) + 0.5
         cx = jax.lax.broadcasted_iota(jnp.float32, (h4, w4), 1) + 0.5
         center = jnp.stack([cx, cy, cx, cy], axis=-1)  # (h4, w4, 4)
         line_pred = line_raw.reshape(bt, h4, w4, p, 4) + center[None, :, :, None, :]
 
-        line_logit = nn.Conv(p, (3, 3), padding="SAME", dtype=self.dtype, name="line_logit")(trunk)
-        line_logit = line_logit.astype(jnp.float32)
+        line_logit = o["line_logit"].astype(jnp.float32)
 
-        loi = nn.Conv(LOI_DIM, (3, 3), padding="SAME", dtype=self.dtype, name="loi")(trunk)
-        loi_thin = nn.Conv(4, (3, 3), padding="SAME", dtype=self.dtype, name="loi_thin")(trunk)
-        loi_aux = nn.Conv(4, (3, 3), padding="SAME", dtype=self.dtype, name="loi_aux")(trunk)
+        loi = o["loi"]
+        loi_thin = o["loi_thin"]
+        loi_aux = o["loi_aux"]
 
         return {
             "scores": scores,
@@ -323,8 +394,9 @@ class LoiHeadS1(nn.Module):
         xp, yp = interior(prop_lines)
         # (L, 30, 4) -> channel-major flatten (L, 120) like the ONNX
         # Transpose([1,0,2]) of (4, L, 30)
-        f_thin = _onnx_bilerp(loi_thin, xj, yj).transpose(0, 2, 1).reshape(lines.shape[0], -1)
-        f_aux = _onnx_bilerp(loi_aux, xp, yp).transpose(0, 2, 1).reshape(lines.shape[0], -1)
+        L = lines.shape[0]
+        f_thin = _interior_feats(loi_thin, xj, yj, L)
+        f_aux = _interior_feats(loi_aux, xp, yp, L)
 
         feats = jnp.concatenate([f_ep1, f_ep2, f_thin, f_aux], axis=-1).astype(self.dtype)
         res_in = jnp.concatenate([f_thin, f_aux], axis=-1).astype(self.dtype)
@@ -336,6 +408,21 @@ class LoiHeadS1(nn.Module):
         logits = nn.Dense(2, dtype=self.dtype, name="fc2_head")(x + r).astype(jnp.float32)
         score = jax.nn.softmax(logits, axis=-1)[:, 1]
         return score, lines
+
+
+def _interior_feats(fmap: jax.Array, xx: jax.Array, yy: jax.Array,
+                    n_lines: int) -> jax.Array:
+    """Channel-major interior sampling (L, C·T) for the thin/aux branches.
+    On the TPU bf16 path the lane-packed Pallas kernel already produces the
+    channel-major layout (the coordinate arrays stay lane-dense — the
+    row-major kernel's (N, 1) coords cost ~0.4 ms/frame at L=512)."""
+    if fmap.dtype == jnp.bfloat16:
+        from airslam_tpu.ops import bilerp_pallas
+
+        if bilerp_pallas.available():
+            out = bilerp_pallas.bilerp_points_t(fmap, xx, yy)  # (C, L, T)
+            return out.transpose(1, 0, 2).reshape(n_lines, -1)
+    return _onnx_bilerp(fmap, xx, yy).transpose(0, 2, 1).reshape(n_lines, -1)
 
 
 def _onnx_bilerp(fmap: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:

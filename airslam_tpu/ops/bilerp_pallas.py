@@ -107,3 +107,86 @@ def bilerp_points(fmap: jax.Array, x: jax.Array, y: jax.Array,
     fmap_t = fmap.transpose(0, 2, 1).reshape(h, c * w)  # (H, C·W), see kernel
     out = _call(xf[:, None], yf[:, None], fmap_t, h, w, c, nb, interpret)
     return out[:n].reshape(shape + (c,))
+
+
+# ---------------------------------------------------------------------------
+# lane-packed variant: points in LANES, output channel-major (C, N)
+# ---------------------------------------------------------------------------
+
+
+def _kernel_t(x_ref, y_ref, f_ref, o_ref, *, h, w, c, nbr):
+    """Transposed formulation: the NB sample points of this grid step live in
+    the LANE dimension end-to-end ((nbr, 128) blocks), so the coordinate
+    arrays are dense — the (N, 1) layout of the row-major kernel tiles as
+    (8, 128) blocks with ONE valid lane, which made the coords' producer
+    fusion and the kernel's coordinate reads ~0.4 ms/frame at L=512.
+    Same corner arithmetic and rounding as :func:`_kernel` (weights cast to
+    the map dtype for the row contraction, f32 accumulation)."""
+    x = x_ref[:]  # (nbr, 128) f32
+    y = y_ref[:]
+    nb = nbr * 128
+    x0f = jnp.clip(jnp.floor(x), 0.0, w - 1)
+    x1f = jnp.clip(x0f + 1.0, 0.0, w - 1)
+    y0f = jnp.clip(jnp.floor(y), 0.0, h - 1)
+    y1f = jnp.clip(y0f + 1.0, 0.0, h - 1)
+
+    fm = f_ref[:]  # (H, C·W), VMEM-resident across grid steps
+    ioh = jax.lax.broadcasted_iota(jnp.int32, (h, nbr, 128), 0)
+    wy = ((ioh == y0f.astype(jnp.int32)[None]) * (y1f - y)[None]
+          + (ioh == y1f.astype(jnp.int32)[None]) * (y - y0f)[None])
+    # rowsT[cw, p] = Σ_h fm[h, cw] · wy[h, p] — contraction over H on the MXU
+    rows = jax.lax.dot_general(
+        fm, wy.reshape(h, nb).astype(fm.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (C·W, NB) f32
+    # column weights: 4-D iota gives the lane-w index without a mod
+    iow = jax.lax.broadcasted_iota(jnp.int32, (c, w, nbr, 128), 1)
+    wx = ((iow == x0f.astype(jnp.int32)[None, None])
+          * (x1f - x)[None, None]
+          + (iow == x1f.astype(jnp.int32)[None, None])
+          * (x - x0f)[None, None]).reshape(c * w, nb)
+    o_ref[:] = jnp.sum((rows * wx).reshape(c, w, nb), axis=1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "c", "nbr", "interpret"))
+def _call_t(x2, y2, fmap2d, h, w, c, nbr, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x2.shape[0] * 128
+    nb = nbr * 128
+    return pl.pallas_call(
+        functools.partial(_kernel_t, h=h, w=w, c=c, nbr=nbr),
+        out_shape=jax.ShapeDtypeStruct((c, n), jnp.float32),
+        grid=(n // nb,),
+        in_specs=[
+            pl.BlockSpec((nbr, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nbr, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, c * w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((c, nb), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x2, y2, fmap2d)
+
+
+def bilerp_points_t(fmap: jax.Array, x: jax.Array, y: jax.Array,
+                    interpret: bool = False) -> jax.Array:
+    """Lane-packed bilinear sampling: same semantics as :func:`bilerp_points`
+    but returns CHANNEL-MAJOR (C, ...) float32 — the layout the stage-1 LOI
+    head's thin/aux flatten wants anyway (ONNX Transpose([1,0,2]))."""
+    h, w, c = fmap.shape
+    shape = x.shape
+    xf = x.reshape(-1).astype(jnp.float32)
+    yf = y.reshape(-1).astype(jnp.float32)
+    n = xf.shape[0]
+    # block: keep the (C·W, NB) f32 intermediates within ~2 MB
+    nbr = max(1, min(8, (2 * 2**20) // (c * w * 4 * 128)))
+    nb = nbr * 128
+    pad = -n % nb
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros((pad,), jnp.float32)])
+        yf = jnp.concatenate([yf, jnp.zeros((pad,), jnp.float32)])
+    fmap_t = fmap.transpose(0, 2, 1).reshape(h, c * w)
+    out = _call_t(xf.reshape(-1, 128), yf.reshape(-1, 128), fmap_t,
+                  h, w, c, nbr, interpret)
+    return out[:, :n].reshape((c,) + shape)

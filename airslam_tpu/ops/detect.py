@@ -40,6 +40,32 @@ def top_k(scores: jax.Array, k: int, exact: bool = False):
     return vals, idx.astype(jnp.int32)
 
 
+def topk_grid(masked: jax.Array, k: int, cell: int):
+    """Two-stage top-k over a non-negative (H, W) plane: top-k CELLS by
+    cell-max — every top-k pixel lives in one (each qualifying cell holds ≥1
+    pixel ≥ the k-th score, and there are at most k such cells) — then top-k
+    over the selected cells' k·cell² pixels. Two small sorts instead of a
+    full-plane sort/PartialReduce (the flat 512² keypoint top-k and the 128²
+    junction top-k were each ~0.15-0.3 ms/frame on TPU).
+
+    Returns (scores (k,), flat_idx (k,) row-major into H·W)."""
+    h, w = masked.shape
+    hc, wc = h // cell, w // cell
+    cells = masked.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3)
+    cells = cells.reshape(hc * wc, cell * cell)
+    cmax = jnp.max(cells, axis=1)
+    _, cidx = top_k(cmax, k)
+    from airslam_tpu.ops import gather
+
+    cand = gather.take_rows(cells, cidx)  # (k, cell²) — MXU, not serial slices
+    scores, flat = top_k(cand.reshape(-1), k)
+    ci = gather.take_values(cidx, flat // (cell * cell))
+    within = flat % (cell * cell)
+    x = (ci % wc) * cell + within % cell
+    y = (ci // wc) * cell + within // cell
+    return scores, y * w + x
+
+
 def topk_keypoints(
     heat: jax.Array, threshold: float, border: int, k: int, exact: bool = False
 ) -> Keypoints:
@@ -62,23 +88,9 @@ def topk_keypoints(
     masked = jnp.where(keep, heat, jnp.zeros_like(heat))
 
     if not exact and h % 8 == 0 and w % 8 == 0 and (h // 8) * (w // 8) >= 2 * k:
-        # two-stage: every top-k PIXEL lives in a top-k CELL by cell-max
-        # (each qualifying cell holds ≥1 pixel ≥ the k-th score, and there
-        # are at most k such cells), so top-k cells → exact top-k over their
-        # k·64 pixels. One small approx pass + one 25k-element sort instead
-        # of a PartialReduce over the full 512² plane (~0.3 ms/frame saved).
-        hc, wc = h // 8, w // 8
-        cells = masked.reshape(hc, 8, wc, 8).transpose(0, 2, 1, 3).reshape(hc * wc, 64)
-        cmax = jnp.max(cells, axis=1)
-        _, cidx = top_k(cmax, k)
-        from airslam_tpu.ops import gather
-
-        cand = gather.take_rows(cells, cidx)  # (k, 64) — MXU, not serial slices
-        scores, flat = jax.lax.top_k(cand.reshape(-1), k)
-        ci = gather.take_values(cidx, flat // 64)
-        within = flat % 64
-        x = ((ci % wc) * 8 + within % 8).astype(heat.dtype)
-        y = ((ci // wc) * 8 + within // 8).astype(heat.dtype)
+        scores, idx = topk_grid(masked, k, 8)
+        x = (idx % w).astype(heat.dtype)
+        y = (idx // w).astype(heat.dtype)
         valid = scores > 0
         return Keypoints(
             xy=jnp.stack([x, y], axis=-1),

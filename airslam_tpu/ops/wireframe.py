@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from airslam_tpu.ops import gather
-from airslam_tpu.ops.detect import simple_nms, top_k
+from airslam_tpu.ops.detect import simple_nms, top_k, topk_grid
 
 
 class Junctions(NamedTuple):
@@ -44,7 +44,12 @@ def decode_junctions(junc_heat: jax.Array, junc_offset: jax.Array, k: int,
     (produces the ``juncs_pred`` (300, 2) tensor of plnet.cpp:468)."""
     h, w = junc_heat.shape
     nmsed = simple_nms(junc_heat, 1)
-    score, idx = top_k(nmsed.reshape(-1), k, exact)
+    if not exact and h % 4 == 0 and w % 4 == 0 and (h // 4) * (w // 4) >= 2 * k:
+        # two-stage cell top-k (see detect.topk_grid): the flat PartialReduce
+        # over the 128² plane was ~0.15 ms/frame on TPU
+        score, idx = topk_grid(nmsed, k, 4)
+    else:
+        score, idx = top_k(nmsed.reshape(-1), k, exact)
     ys = (idx // w).astype(jnp.float32)
     xs = (idx % w).astype(jnp.float32)
     off = gather.take_rows(junc_offset.reshape(h * w, 2), idx)

@@ -1,0 +1,314 @@
+"""On-TPU correctness artifact: the compiled programs the benchmarks time,
+gated against the CPU oracle the test suite certifies.
+
+The repo's 161-test suite runs on CPU (tests/conftest.py pins the platform),
+while the TPU executes only timing benchmarks — so a TPU-compiled numerical
+bug (bf16 overflow, Pallas mis-tile under Mosaic rather than interpret mode)
+could leave every test green. This script closes that gap; the reference
+analogue is that its TensorRT engines ARE the production path
+(/root/reference/src/plnet.cpp:221-585) and its demos run on them directly.
+
+Checks (each compiled on the REAL TPU, compared to a CPU oracle computed in a
+subprocess):
+1. ``entry()`` — the fused bf16 stereo frontend bench.py times — on rendered
+   synthetic stereo frames vs the same program in f32 on CPU: keypoint
+   agreement within 1 px + top-k rank overlap, line/junction set agreement,
+   geometric match-set agreement.
+2. ``pose_gn_pallas`` compiled (interpret=False, Mosaic lowering) vs the f64
+   scan solver (windows._pose_only_fast): pose + inlier labels.
+3. ``ops.remap_tiled`` compiled vs the generic gather remap on the real EuRoC
+   rectification grids (/root/reference/configs/camera/euroc.yaml).
+
+Writes PARITY_TPU.json (driver-readable: {"ok": bool, "checks": [...]}) and
+exits non-zero on any gate failure. Wired as a pytest gate in
+tests/test_tpu_parity.py (@pytest.mark.tpu, opt-in via AIRSLAM_TPU_TESTS=1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+N_PAIRS = 3
+FRAME_SEED = 3
+POSE_SEED = 5
+EUROC_YAML = "/root/reference/configs/camera/euroc.yaml"
+
+
+# ---------------------------------------------------------------------------
+# shared: metric helpers (pure numpy — used on both sides' saved outputs)
+# ---------------------------------------------------------------------------
+
+
+def _pts_agree(a, b, tol):
+    """Fraction of rows of ``a`` with a row of ``b`` within ``tol`` (L2)."""
+    if len(a) == 0:
+        return 1.0
+    if len(b) == 0:
+        return 0.0
+    d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+    return float((d.min(axis=1) <= tol).mean())
+
+
+def _lines_agree(a, b, tol):
+    """Fraction of segments in ``a`` matched by one in ``b`` with both
+    endpoints within ``tol`` (either endpoint order)."""
+    if len(a) == 0:
+        return 1.0
+    if len(b) == 0:
+        return 0.0
+    e1 = np.maximum(np.linalg.norm(a[:, None, 0:2] - b[None, :, 0:2], axis=-1),
+                    np.linalg.norm(a[:, None, 2:4] - b[None, :, 2:4], axis=-1))
+    e2 = np.maximum(np.linalg.norm(a[:, None, 0:2] - b[None, :, 2:4], axis=-1),
+                    np.linalg.norm(a[:, None, 2:4] - b[None, :, 0:2], axis=-1))
+    d = np.minimum(e1, e2)
+    return float((d.min(axis=1) <= tol).mean())
+
+
+def _match_pairs(out):
+    """(kp0_xy, kp1_xy) coordinate pairs of accepted matches from an entry()
+    output tuple."""
+    kp0, kp1, idx1 = out["o0"], out["o1"], out["o2"].astype(np.int64)
+    ok = idx1 >= 0
+    return np.concatenate([kp0[ok], kp1[np.clip(idx1[ok], 0, len(kp1) - 1)]],
+                          axis=-1)  # (M, 4)
+
+
+def frontend_metrics(cpu, tpu):
+    """Per-pair agreement metrics between the CPU-f32 and TPU-bf16 entry()
+    outputs (tuple layout documented in __graft_entry__.entry)."""
+    m = {}
+    kp_c = cpu["o0"][cpu["o7"] > 0]
+    kp_t = tpu["o0"][tpu["o7"] > 0]
+    m["kp_count_cpu"] = int(len(kp_c))
+    m["kp_count_tpu"] = int(len(kp_t))
+    m["kp_agree_1px"] = _pts_agree(kp_c, kp_t, 1.0)
+    # rank overlap: detections come out of topk_keypoints score-sorted, so
+    # row order IS rank; the top-100 sets must cover each other within 1 px
+    k = min(100, len(kp_c), len(kp_t))
+    m["kp_top100_overlap"] = _pts_agree(cpu["o0"][:k], tpu["o0"][:k], 1.0)
+
+    ln_c = cpu["o4"][cpu["o5"] > 0]
+    ln_t = tpu["o4"][tpu["o5"] > 0]
+    m["line_count_cpu"] = int(len(ln_c))
+    m["line_count_tpu"] = int(len(ln_t))
+    m["line_agree_3px"] = _lines_agree(ln_c, ln_t, 3.0)
+
+    jmask_c = cpu["o10"] > 0
+    jmask_t = tpu["o10"] > 0
+    jc = cpu["o8"][jmask_c]
+    jt = tpu["o8"][jmask_t]
+    m["junc_count_cpu"] = int(len(jc))
+    m["junc_count_tpu"] = int(len(jt))
+    m["junc_agree_2px"] = _pts_agree(jc, jt, 2.0)
+
+    mc = _match_pairs(cpu)
+    mt = _match_pairs(tpu)
+    m["match_count_cpu"] = int(len(mc))
+    m["match_count_tpu"] = int(len(mt))
+    # geometric agreement (indices can permute between dtypes): a CPU match
+    # agrees if a TPU match has BOTH endpoints within 1.5 px
+    if len(mc) and len(mt):
+        d0 = np.linalg.norm(mc[:, None, 0:2] - mt[None, :, 0:2], axis=-1)
+        d1 = np.linalg.norm(mc[:, None, 2:4] - mt[None, :, 2:4], axis=-1)
+        m["match_agree"] = float(
+            (np.maximum(d0, d1).min(axis=1) <= 1.5).mean())
+    else:
+        m["match_agree"] = 1.0 if len(mc) == len(mt) else 0.0
+    return m
+
+
+# ---------------------------------------------------------------------------
+# oracle (CPU subprocess)
+# ---------------------------------------------------------------------------
+
+
+def compute_oracle(out_path: str) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from airslam_tpu.utils import jaxcache
+
+    jaxcache.enable(os.path.join(REPO, ".jax_cache"))
+
+    # textured rendered frames: the CNN-realistic world the e2e chain maps
+    from apps.benchmark_system import make_sequence
+
+    _, L, R, _ = make_sequence(N_PAIRS, 480, 752, seed=FRAME_SEED, texture=0.1)
+    frames = np.stack([np.stack([L[i], R[i]]) for i in range(N_PAIRS)])
+
+    blob = {"frames": frames.astype(np.float32)}
+
+    from __graft_entry__ import entry
+
+    fn, args = entry(dtype=jnp.float32)
+    plp, loip, lgp, _ = args
+    fnj = jax.jit(fn)
+    for i in range(N_PAIRS):
+        out = fnj(plp, loip, lgp, jnp.asarray(frames[i]))
+        for j, o in enumerate(out):
+            blob[f"p{i}_o{j}"] = np.asarray(o)
+
+    # pose oracle: f64 scan solver on the fixed tracking problem
+    from airslam_tpu.backend import gn, windows
+    from tests.test_pose_gn_pallas import _tracking_problem
+
+    prob, intr, _ = _tracking_problem(np.random.RandomState(POSE_SEED),
+                                      dtype=jnp.float64)
+    ref, pin, lin, n = windows._pose_only_fast(prob, intr, gn.BAConfig(),
+                                               rounds=3, iters=10)
+    blob["pose_R"] = np.asarray(ref.frames.Rwb[0], np.float64)
+    blob["pose_t"] = np.asarray(ref.frames.twb[0], np.float64)
+    blob["pose_pin"] = np.asarray(pin[:, 0])
+    blob["pose_lin"] = np.asarray(lin[:, 0])
+
+    # remap oracle: generic gather remap on the EuRoC grids
+    from airslam_tpu.core.camera import Camera
+    from airslam_tpu.ops.gridsample import remap
+
+    cam = Camera(EUROC_YAML)
+    img = jnp.asarray(frames[0, 0], jnp.float32)
+    blob["remap_left"] = np.asarray(
+        remap(img, jnp.asarray(cam.map_left, jnp.float32)), np.float32)
+    blob["remap_right"] = np.asarray(
+        remap(img, jnp.asarray(cam.map_right, jnp.float32)), np.float32)
+
+    np.savez_compressed(out_path, **blob)
+    print(f"oracle written: {out_path} ({len(blob)} arrays)")
+
+
+# ---------------------------------------------------------------------------
+# TPU side
+# ---------------------------------------------------------------------------
+
+
+def run_tpu(oracle_path: str, out_json: str) -> bool:
+    import jax
+    import jax.numpy as jnp
+
+    from airslam_tpu.utils import jaxcache
+
+    jaxcache.enable(os.path.join(REPO, ".jax_cache"))
+    backend = jax.default_backend()
+    data = np.load(oracle_path)
+    frames = data["frames"]
+    checks = []
+
+    def check(name, value, gate, op=">="):
+        ok = (value >= gate) if op == ">=" else (value <= gate)
+        checks.append({"name": name, "value": round(float(value), 5),
+                       "gate": gate, "op": op, "pass": bool(ok)})
+        print(f"{'OK ' if ok else 'FAIL'} {name}: {value:.5f} ({op} {gate})")
+        return ok
+
+    # ---- 1. fused bf16 frontend entry() ----------------------------------
+    from __graft_entry__ import entry
+
+    fn, args = entry()  # bf16: the program bench.py times
+    plp, loip, lgp, _ = args
+    fnj = jax.jit(fn)
+    t0 = time.time()
+    agg = {}
+    for i in range(N_PAIRS):
+        out = fnj(plp, loip, lgp, jnp.asarray(frames[i]))
+        tpu_o = {f"o{j}": np.asarray(o) for j, o in enumerate(out)}
+        cpu_o = {f"o{j}": data[f"p{i}_o{j}"] for j in range(len(out))}
+        m = frontend_metrics(cpu_o, tpu_o)
+        print(f"pair {i}: " + " ".join(f"{k}={v}" for k, v in m.items()))
+        for k, v in m.items():
+            if isinstance(v, float):
+                agg.setdefault(k, []).append(v)
+    print(f"frontend: {N_PAIRS} pairs in {time.time() - t0:.1f}s "
+          f"(backend={backend})")
+    mean = {k: float(np.mean(v)) for k, v in agg.items()}
+    check("frontend_kp_agree_1px", mean["kp_agree_1px"], 0.90)
+    check("frontend_kp_top100_overlap", mean["kp_top100_overlap"], 0.85)
+    check("frontend_line_agree_3px", mean["line_agree_3px"], 0.80)
+    check("frontend_junc_agree_2px", mean["junc_agree_2px"], 0.80)
+    check("frontend_match_agree", mean["match_agree"], 0.90)
+
+    # ---- 2. pose_gn_pallas compiled (Mosaic) vs f64 scan oracle ----------
+    from airslam_tpu.backend import gn
+    from airslam_tpu.backend.pose_gn_pallas import pose_only_fast_pallas
+    from tests.test_pose_gn_pallas import _tracking_problem
+
+    prob, intr, _ = _tracking_problem(np.random.RandomState(POSE_SEED))
+    out, pin, lin, n = pose_only_fast_pallas(prob, intr, gn.BAConfig(),
+                                             rounds=3, iters=10,
+                                             interpret=False)
+    t_err = float(np.abs(np.asarray(out.frames.twb[0]) - data["pose_t"]).max())
+    r_err = float(np.abs(np.asarray(out.frames.Rwb[0]) - data["pose_R"]).max())
+    pin_ag = float((np.asarray(pin)[:, 0] == data["pose_pin"]).mean())
+    lin_ag = float((np.asarray(lin)[:, 0] == data["pose_lin"]).mean())
+    check("pose_gn_pallas_t_err", t_err, 2e-3, op="<=")
+    check("pose_gn_pallas_R_err", r_err, 1e-3, op="<=")
+    check("pose_gn_pallas_point_inlier_agree", pin_ag, 0.98)
+    check("pose_gn_pallas_line_inlier_agree", lin_ag, 0.98)
+
+    # ---- 3. tiled Pallas remap compiled vs generic gather oracle ---------
+    from airslam_tpu.core.camera import Camera
+    from airslam_tpu.ops import remap_tiled
+
+    cam = Camera(EUROC_YAML)
+    img = jnp.asarray(frames[0, 0], jnp.float32)
+    for side, grid in (("left", cam.map_left), ("right", cam.map_right)):
+        plan = remap_tiled.build_plan(grid, grid.shape[:2])
+        got = np.asarray(remap_tiled.remap_planned(img, plan))
+        err = float(np.abs(got - data[f"remap_{side}"]).max())
+        check(f"remap_tiled_{side}_maxerr", err, 1e-3, op="<=")
+
+    ok = all(c["pass"] for c in checks)
+    artifact = {
+        "ok": ok,
+        "backend": backend,
+        "devices": [str(d) for d in jax.devices()],
+        "n_pairs": N_PAIRS,
+        "frontend_means": {k: round(v, 5) for k, v in mean.items()},
+        "checks": checks,
+    }
+    with open(out_json, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"{'PARITY OK' if ok else 'PARITY FAIL'} -> {out_json}")
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--oracle-out", default=None,
+                    help="internal: compute the CPU oracle and exit")
+    ap.add_argument("--oracle", default=None,
+                    help="reuse an existing oracle npz (skip the subprocess)")
+    ap.add_argument("--out", default=os.path.join(REPO, "PARITY_TPU.json"))
+    args = ap.parse_args()
+
+    if args.oracle_out:
+        compute_oracle(args.oracle_out)
+        return
+
+    oracle = args.oracle
+    if oracle is None or not os.path.exists(oracle):
+        oracle = oracle or "/tmp/airslam_tpu_oracle.npz"
+        env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--oracle-out", oracle],
+            env=env, cwd=REPO)
+        if r.returncode != 0:
+            raise RuntimeError("oracle subprocess failed")
+    ok = run_tpu(oracle, args.out)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -86,3 +86,42 @@ def test_onnx_bilerp_dispatch_is_cpu_safe():
     y = jnp.asarray(rng.uniform(0, 63, (40,)), jnp.float32)
     out = plnet._onnx_bilerp(fmap, x, y)  # must not require pallas/TPU
     assert out.shape == (40, 4)
+
+
+@pytest.mark.parametrize("c", [4, 128])
+def test_lane_packed_matches_oracle_f32(c):
+    """bilerp_points_t: lane-packed points, channel-major output."""
+    rng = np.random.RandomState(4)
+    fmap = jnp.asarray(rng.randn(128, 128, c), jnp.float32)
+    x = jnp.asarray(rng.uniform(-1.5, 129.5, (300,)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-1.5, 129.5, (300,)), jnp.float32)
+    got = bilerp_pallas.bilerp_points_t(fmap, x, y, interpret=True)
+    want = _oracle(fmap, x, y)
+    assert got.shape == (c, 300)
+    np.testing.assert_allclose(np.asarray(got).T, np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
+
+
+def test_lane_packed_matches_oracle_bf16_shaped():
+    """The LOI-head thin/aux shape: (L, 30) points on a bf16 4-channel map;
+    output (4, L, 30) must match the einsum oracle's (L, 30, 4)."""
+    rng = np.random.RandomState(5)
+    fmap = jnp.asarray(rng.randn(128, 128, 4), jnp.bfloat16)
+    x = jnp.asarray(rng.uniform(0, 127, (512, 30)), jnp.float32)
+    y = jnp.asarray(rng.uniform(0, 127, (512, 30)), jnp.float32)
+    got = bilerp_pallas.bilerp_points_t(fmap, x, y, interpret=True)
+    want = _oracle(fmap, x, y)
+    assert got.shape == (4, 512, 30)
+    np.testing.assert_allclose(np.asarray(got).transpose(1, 2, 0),
+                               np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_lane_packed_border_and_padding():
+    fmap = jnp.ones((128, 128, 4), jnp.float32) * 3.0
+    x = jnp.asarray([127.0, 127.5, -0.5, 5.0, 63.2], jnp.float32)
+    y = jnp.asarray([5.0, 5.0, 5.0, 127.0, 31.7], jnp.float32)
+    got = bilerp_pallas.bilerp_points_t(fmap, x, y, interpret=True)
+    want = _oracle(fmap, x, y)
+    np.testing.assert_allclose(np.asarray(got).T, np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    assert abs(float(got[0, 0])) < 1e-6
