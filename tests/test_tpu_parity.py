@@ -1,0 +1,62 @@
+"""On-TPU parity gates.
+
+The whole suite runs on CPU (conftest pins the platform), while the real TPU
+executes only timing benchmarks — scripts/verify_tpu.py closes that gap by
+running the compiled bf16 ``entry()``, the Mosaic-compiled ``pose_gn_pallas``
+solver and the tiled Pallas remap on the real chip and gating them against
+CPU oracles. Two gates here:
+
+- ``test_tpu_parity_live`` — opt-in (``AIRSLAM_TPU_TESTS=1``): runs the
+  script end-to-end against the real TPU in a subprocess (the conftest's CPU
+  pin is process-local, so a fresh subprocess sees the environment's default
+  ``axon`` platform).
+- ``test_parity_artifact_green`` — always: the committed ``PARITY_TPU.json``
+  (the artifact of record) must exist and every check in it must pass, so a
+  regression can't hide behind a stale red artifact.
+
+Reference analogue: the TensorRT engines ARE the reference's production path
+(/root/reference/src/plnet.cpp:221-585) and its demos run on them directly.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ARTIFACT = os.path.join(REPO, "PARITY_TPU.json")
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("AIRSLAM_TPU_TESTS") != "1",
+    reason="live TPU parity run is opt-in: set AIRSLAM_TPU_TESTS=1",
+)
+def test_tpu_parity_live(tmp_path):
+    out = tmp_path / "PARITY_TPU.json"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "verify_tpu.py"),
+         "--out", str(out)],
+        env=env, cwd=REPO, timeout=3600,
+    )
+    assert r.returncode == 0, "verify_tpu.py reported a parity failure"
+    art = json.loads(out.read_text())
+    assert art["ok"]
+    assert art["backend"] != "cpu", "live gate must run on the real device"
+
+
+def test_parity_artifact_green():
+    assert os.path.exists(ARTIFACT), (
+        "PARITY_TPU.json missing — run scripts/verify_tpu.py on the TPU host "
+        "and commit the artifact"
+    )
+    with open(ARTIFACT) as f:
+        art = json.load(f)
+    assert art["ok"], "committed parity artifact is red"
+    failing = [c["name"] for c in art["checks"] if not c["pass"]]
+    assert not failing, f"failing checks in committed artifact: {failing}"
+    assert art["backend"] != "cpu", "artifact was produced on CPU, not TPU"
