@@ -122,6 +122,7 @@ class Camera:
 
         self.map_left = None  # (H, W, 2) float32 source-pixel grid or None
         self.map_right = None
+        self.rect = None  # stereoRectify internals (K/D/R/P per cam) or None
 
         distortion_type = int(node["distortion_type"])
         if distortion_type == 0:
@@ -152,6 +153,12 @@ class Camera:
                 )
             self.map_left = np.stack([ml1, ml2], axis=-1)
             self.map_right = np.stack([mr1, mr2], axis=-1)
+            # expose the rectification geometry: apps/make_synth_dataset.py
+            # inverse-warps rendered rectified views into the distorted
+            # domain (cv2.undistortPoints with R/P) to synthesize raw
+            # distorted input the pipeline must rectify (camera.cc:161-182)
+            self.rect = dict(type=distortion_type, K0=K0, D0=D0, K1=K1,
+                             D1=D1, R0=R0, R1=R1, P0=P0, P1=P1)
             bf = abs(P1[0, 3])
             fx, fy, cx, cy = P0[0, 0], P0[1, 1], P0[0, 2], P0[1, 2]
 

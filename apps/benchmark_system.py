@@ -41,21 +41,26 @@ def traj_position(t, traj: str = "forward", total: float = None):
 def make_sequence(n_frames: int, height: int, width: int, seed: int = 0,
                   baseline: float = 0.11, stride: int = 1,
                   traj: str = "forward", texture: float = 0.0,
-                  photometric: str = "none"):
+                  photometric: str = "none", intrinsics=None):
     """Render a stereo sequence along an analytic trajectory.
     Returns (timestamps, lefts (T,H,W), rights, gt_Twc list). ``stride``
     subsamples the 20 Hz trajectory (stride 2 = 10 Hz frames) — same analytic
     path, longer wall-clock span per rendered frame. ``texture`` adds 1/f
     plane texture (natural-image statistics); ``photometric='dark'`` applies
-    the gamma-crushed low-light transform per frame (dark-EuRoC stand-in)."""
+    the gamma-crushed low-light transform per frame (dark-EuRoC stand-in).
+    ``intrinsics``: optional (fx, fy, cx, cy) override — the distorted-rig
+    dataset renders with the RECTIFIED intrinsics of its stereoRectify."""
     import jax
     import jax.numpy as jnp
 
     from airslam_tpu.frontend import synthgen
     from tests.synthetic import default_intrinsics
 
-    intr = default_intrinsics(jnp.float32)
-    fx, fy, cx, cy = (float(intr.fx), float(intr.fy), float(intr.cx), float(intr.cy))
+    if intrinsics is not None:
+        fx, fy, cx, cy = (float(v) for v in intrinsics)
+    else:
+        intr = default_intrinsics(jnp.float32)
+        fx, fy, cx, cy = (float(intr.fx), float(intr.fy), float(intr.cx), float(intr.cy))
 
     world = synthgen.make_world3d(jax.random.PRNGKey(seed))
     tex_key = jax.random.PRNGKey(seed + 31)

@@ -82,6 +82,13 @@ def main():
                     help="dark: gamma-crushed noisy low-light rendering "
                          "(the dark-EuRoC stand-in; pair with "
                          "configs/visual_odometry/vo_euroc_dark.yaml)")
+    ap.add_argument("--distort_camera", default=None,
+                    help="camera YAML with distortion_type != 0 (e.g. "
+                         "configs/camera/synth_stereo_distorted.yaml): render "
+                         "in that rig's RECTIFIED geometry, then inverse-warp "
+                         "each view into the raw distorted domain — the "
+                         "pipeline must undistort on input exactly as the "
+                         "reference does on EuRoC (camera.cc:161-182)")
     ap.add_argument("--device", default="cpu")
     args = ap.parse_args()
 
@@ -93,11 +100,52 @@ def main():
 
     from apps.benchmark_system import make_sequence
 
+    intrinsics = None
+    baseline = 0.1
+    inv_maps = None
+    if args.distort_camera:
+        from airslam_tpu.core.camera import Camera
+
+        cam = Camera(args.distort_camera)
+        rect = cam.rect
+        assert rect is not None, "--distort_camera needs distortion_type != 0"
+        assert rect["type"] == 1, "only radtan synthesis supported"
+        # with identical cams and a pure-x baseline, stereoRectify's rotations
+        # are identity — the rendered (rectified) camera frame IS cam0's, so
+        # the ground-truth poses need no reframing
+        assert np.abs(rect["R0"] - np.eye(3)).max() < 1e-6, rect["R0"]
+        assert np.abs(rect["R1"] - np.eye(3)).max() < 1e-6, rect["R1"]
+        intrinsics = (cam.fx, cam.fy, cam.cx, cam.cy)  # rectified P0
+        baseline = cam.bf / cam.fx
+        # inverse warp: for every DISTORTED pixel, where it lands in the
+        # rectified frame (undistortPoints projects through R/P) — sampling
+        # the rendered rectified view there synthesizes the raw image whose
+        # forward rectification (cam.map_left/right) recovers the render
+        H, W = args.height, args.width
+        xs, ys = np.meshgrid(np.arange(W, dtype=np.float64),
+                             np.arange(H, dtype=np.float64))
+        pix = np.stack([xs, ys], -1).reshape(-1, 1, 2)
+        inv_maps = {}
+        for side, K, D, Rr, P in (("cam0", rect["K0"], rect["D0"], rect["R0"], rect["P0"]),
+                                  ("cam1", rect["K1"], rect["D1"], rect["R1"], rect["P1"])):
+            m = cv2.undistortPoints(pix, K, D, R=Rr, P=P[:3, :3])
+            inv_maps[side] = m.reshape(H, W, 2).astype(np.float32)
+
     ts, L, R, gt = make_sequence(args.frames, args.height, args.width,
-                                 seed=args.seed, baseline=0.1,
+                                 seed=args.seed, baseline=baseline,
                                  stride=args.stride, traj=args.traj,
                                  texture=args.texture,
-                                 photometric=args.photometric)
+                                 photometric=args.photometric,
+                                 intrinsics=intrinsics)
+    if inv_maps is not None:
+        L = np.stack([cv2.remap(np.asarray(L[i]), inv_maps["cam0"][..., 0],
+                                inv_maps["cam0"][..., 1], cv2.INTER_LINEAR,
+                                borderMode=cv2.BORDER_REPLICATE)
+                      for i in range(args.frames)])
+        R = np.stack([cv2.remap(np.asarray(R[i]), inv_maps["cam1"][..., 0],
+                                inv_maps["cam1"][..., 1], cv2.INTER_LINEAR,
+                                borderMode=cv2.BORDER_REPLICATE)
+                      for i in range(args.frames)])
     total = float(args.frames * 0.05 * args.stride)
 
     mav0 = os.path.join(args.out, args.seq, "mav0")
