@@ -352,3 +352,101 @@ def test_real_photo_detections(detector):
         kp2 = f2.keypoints[f2.kp_mask]
         dmin = np.linalg.norm(kp[:, None] - kp2[None], axis=-1).min(axis=1)
         assert (dmin < 3.0).mean() > 0.5, f"{name}: {(dmin < 3.0).mean():.2f}"
+
+
+def _load_photos_512():
+    import cv2
+
+    photo_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "photos")
+    out = []
+    for name in sorted(os.listdir(photo_dir)):
+        if not name.endswith(".jpg"):
+            continue
+        img = cv2.imread(os.path.join(photo_dir, name), cv2.IMREAD_GRAYSCALE)
+        img = cv2.resize(img, (512, 512), interpolation=cv2.INTER_AREA)
+        out.append((name, img.astype(np.float32) / 255.0))
+    return out
+
+
+def _photo_homography(seed: int):
+    """A mild perspective view change of EuRoC-frame magnitude: rotation
+    ~0.15 rad, scale ~1.08, shift, small projective terms."""
+    rng = np.random.RandomState(seed)
+    th = rng.uniform(-0.15, 0.15)
+    s = rng.uniform(0.95, 1.08)
+    c, sn = np.cos(th) * s, np.sin(th) * s
+    cx = cy = 256.0
+    Hm = np.array([[c, -sn, cx - c * cx + sn * cy + rng.uniform(-15, 15)],
+                   [sn, c, cy - sn * cx - c * cy + rng.uniform(-15, 15)],
+                   [rng.uniform(-1, 1) * 8e-5, rng.uniform(-1, 1) * 8e-5, 1.0]])
+    return Hm
+
+
+def _match_photo_pair(detector, pm, img, Hm, photometric=False):
+    """Warp -> detect both -> match; returns (n_matches, precision@4px)
+    counting only matches whose true correspondence is in-frame."""
+    import cv2
+    import jax.tree_util as jtu
+
+    img1 = cv2.warpPerspective(img, Hm, (512, 512),
+                               flags=cv2.INTER_LINEAR,
+                               borderMode=cv2.BORDER_REPLICATE)
+    if photometric:
+        img1 = np.clip(img1 * 0.65, 0, 1) ** 1.3  # darken + gamma
+    f0 = jtu.tree_map(lambda x: np.asarray(x[0]), detector.detect(img[None]))
+    f1 = jtu.tree_map(lambda x: np.asarray(x[0]), detector.detect(img1[None]))
+    pairs, _ = pm.matching_points(f0, f1)
+    if len(pairs) == 0:
+        return 0, 0.0
+    p0 = f0.keypoints[pairs[:, 0]]
+    ph = np.concatenate([p0, np.ones((len(p0), 1), np.float32)], -1) @ Hm.T
+    pred = ph[:, :2] / ph[:, 2:3]
+    inb = ((pred[:, 0] >= 0) & (pred[:, 0] < 512)
+           & (pred[:, 1] >= 0) & (pred[:, 1] < 512))
+    if inb.sum() == 0:
+        return 0, 0.0
+    err = np.linalg.norm(pred[inb] - f1.keypoints[pairs[inb, 1]], axis=-1)
+    return int(inb.sum()), float((err < 4.0).mean())
+
+
+def _real_photo_matching(detector, matcher_id):
+    """Shared gate body: trained matcher on REAL texture (VERDICT r3 item 5)
+    — homography-warped photo pairs give ground-truthed correspondences;
+    thresholds within 2x of the synthetic-pair gates (>=25 matches, 0.9
+    precision). Ref: /root/reference/src/light_glue.cpp:214-266 (decode
+    thresholds tuned on real imagery)."""
+    from airslam_tpu.frontend.matcher import MatcherConfig, PointMatcher
+    from airslam_tpu.models.superglue import SG_SINKHORN_ITERS
+
+    name = ("lightglue", "superglue")[matcher_id]
+    mckpt = wio.checkpoint_path(f"{name}.npz")
+    if not os.path.exists(mckpt):
+        pytest.skip(f"trained {name} checkpoint absent")
+    pm = PointMatcher(
+        MatcherConfig(matcher=matcher_id, max_keypoints=400, image_width=512,
+                      image_height=512, sinkhorn_iterations=SG_SINKHORN_ITERS),
+        params=wio.load_params(mckpt),
+    )
+    photos = _load_photos_512()
+    assert len(photos) >= 3
+    counts, precs, pcounts, pprecs = [], [], [], []
+    for i, (pname, img) in enumerate(photos):
+        Hm = _photo_homography(100 + i)
+        n, p = _match_photo_pair(detector, pm, img, Hm)
+        counts.append(n), precs.append(p)
+        # repeatability across the photometric transform (darken + gamma)
+        n2, p2 = _match_photo_pair(detector, pm, img, Hm, photometric=True)
+        pcounts.append(n2), pprecs.append(p2)
+    assert np.mean(counts) >= 15, f"{name} photo match counts {counts}"
+    assert np.mean(precs) > 0.75, f"{name} photo precision {precs}"
+    assert np.mean(pcounts) >= 12, f"{name} photometric counts {pcounts}"
+    assert np.mean(pprecs) > 0.7, f"{name} photometric precision {pprecs}"
+
+
+def test_real_photo_matching_lightglue(detector):
+    _real_photo_matching(detector, 0)
+
+
+def test_real_photo_matching_superglue(detector):
+    _real_photo_matching(detector, 1)
