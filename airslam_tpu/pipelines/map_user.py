@@ -70,6 +70,9 @@ class MapUser:
         # map_refiner.cc:237-460) — widens the viewpoint envelope beyond
         # what the direct LightGlue match budget reaches
         self.projection_recovery = projection_recovery
+        # perfect-recall retrieval for envelope attribution (see
+        # relocalize_frame; scripts/measure_reloc_envelope.py --oracle)
+        self.oracle_retrieval = False
         # Wide-baseline bootstrap: with recovery available, a candidate whose
         # RAW LightGlue match count is below min_inlier_num can still seed
         # PnP — projection recovery then claims the matches the direct
@@ -140,41 +143,67 @@ class MapUser:
         self.last_stats = {"n_candidates": 0, "n_groups": 0,
                            "pair_counts": [], "attempts": []}
         counts = self.database.query(vec)
-        if not counts:
-            return False, np.eye(4)
-        max_sharing = max(counts.values())
-        thr = max(int(max_sharing * 0.3), 8)
-        cands = {f: c for f, c in counts.items() if c >= thr}
+        if self.oracle_retrieval:
+            # attribution mode (scripts/measure_reloc_envelope.py --oracle):
+            # perfect-recall retrieval — every keyframe is a candidate. The
+            # recall measured here is the MATCHING ceiling; the gap to the
+            # BoW run is the retrieval ceiling.
+            cands = {f: counts.get(f, 0) for f in self.map.keyframe_ids}
+        else:
+            if not counts:
+                return False, np.eye(4)
+            max_sharing = max(counts.values())
+            thr = max(int(max_sharing * 0.3), 8)
+            cands = {f: c for f, c in counts.items() if c >= thr}
+            # joint point+junction retrieval: wide-baseline views can lose
+            # most shared POINT words while the sparser junction vocabulary
+            # (structure words) still fires — surface frames that clear the
+            # junction-sharing gate even when they miss the point gate
+            # (extends map_user.cc:148-179, which queries points only)
+            if self.junction_database is not None and jvec:
+                jcounts = self.junction_database.query(jvec)
+                if jcounts:
+                    jthr = max(int(max(jcounts.values()) * 0.5), 4)
+                    for f, c in jcounts.items():
+                        if c >= jthr and f not in cands:
+                            cands[f] = counts.get(f, 0)
         if not cands:
             return False, np.eye(4)
 
         cand_ids = list(cands)
         scores = dict(zip(cand_ids, self.database.batched_scores(vec, cand_ids)))
 
-        # grouping (map_user.cc:180-242); group score = top-5 member scores
+        # grouping (map_user.cc:180-242); group score = top-5 member scores.
+        # Members include ALL covisible keyframes (query expansion), not just
+        # scored candidates — the recovery stages project/match through the
+        # whole group, so an unscored covisible neighbor still contributes
+        # its mappoints even though it adds nothing to the group score.
         groups: Dict[int, dict] = {}
         for f, s in scores.items():
             deputy, dscore = f, s
             members = {f}
             for cf in self.map.covisible_frames(f, min_shared=11):
-                if cf in scores:
-                    members.add(cf)
-                    if scores[cf] > dscore:
-                        deputy, dscore = cf, scores[cf]
-            gscore = sum(sorted((scores[m] for m in members), reverse=True)[:5])
+                members.add(cf)
+                if cf in scores and scores[cf] > dscore:
+                    deputy, dscore = cf, scores[cf]
+            gscore = sum(sorted((scores.get(m, 0.0) for m in members),
+                                reverse=True)[:5])
             if deputy not in groups or groups[deputy]["score"] < gscore:
                 groups[deputy] = dict(score=gscore, members=members)
-        best_score = max(g["score"] for g in groups.values())
-        if len(groups) > 3:
-            groups = {d: g for d, g in groups.items() if g["score"] >= 0.5 * best_score}
 
-        # junction structure-graph re-rank (map_user.cc:285-349)
+        # junction structure-graph re-rank (map_user.cc:285-349) BEFORE the
+        # survivor pruning: a junction-retrieved group typically has a weak
+        # point score and must be able to earn its slot through the re-rank
         if self.junction_database is not None and frame.junc_mask.any():
             q_conns = junction_connections(
                 frame.junctions, frame.junc_mask, frame.lines, frame.line_mask
             )
             for deputy, g in groups.items():
                 g["score"] += self._junction_score(deputy, jvec, jwids, q_conns)
+
+        best_score = max(g["score"] for g in groups.values())
+        if len(groups) > 3:
+            groups = {d: g for d, g in groups.items() if g["score"] >= 0.5 * best_score}
 
         ordered = sorted(groups.items(), key=lambda kv: -kv[1]["score"])[:3]
 

@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--diagnose", action="store_true",
                     help="print per-query stage diagnostics (candidate count, "
                          "raw pair counts, PnP/recovery/final inliers)")
+    ap.add_argument("--oracle_retrieval", action="store_true",
+                    help="perfect-recall retrieval (every keyframe is a "
+                         "candidate): the measured recall is the MATCHING "
+                         "ceiling, attributing envelope failures to "
+                         "retrieval vs matching")
     from airslam_tpu.utils import device as device_util
 
     device_util.add_arg(ap)
@@ -89,6 +94,7 @@ def main():
                    min_inlier_num=cfg.min_inlier_num,
                    pose_refinement=cfg.pose_refinement,
                    projection_recovery=not args.no_recovery)
+    user.oracle_retrieval = args.oracle_retrieval
 
     def stamp(name):
         try:

@@ -54,7 +54,20 @@ def main():
                     help="override the map-side max_keypoints (0 = config)")
     ap.add_argument("--no_recovery", action="store_true",
                     help="disable projection-guided recovery (baseline)")
+    ap.add_argument("--oracle", action="store_true",
+                    help="ALSO run each point with perfect-recall retrieval "
+                         "(every keyframe a candidate) — the recall gap "
+                         "BoW-vs-oracle attributes failures to retrieval, "
+                         "oracle-vs-10/10 to matching/world coverage")
+    ap.add_argument("--points", default=None,
+                    help="comma-separated off:yaw pairs overriding the sweep "
+                         "(e.g. '1.5:35,2.0:45')")
     args = ap.parse_args()
+
+    global POINTS
+    if args.points:
+        POINTS = [tuple(float(v) for v in p.split(":"))
+                  for p in args.points.split(",")]
 
     os.makedirs(args.work, exist_ok=True)
     dsroot = os.path.join(args.work, "ds")
@@ -117,6 +130,12 @@ def main():
             cmd.append("--no_recovery")
         out = run(cmd)
         line = [l for l in out.splitlines() if l.startswith("recall:")][-1]
+        if args.oracle:
+            out_o = run(cmd + ["--oracle_retrieval", "--traj_path",
+                               os.path.join(vo_out, f"reloc_{sub}_oracle.txt")])
+            oline = [l for l in out_o.splitlines()
+                     if l.startswith("recall:")][-1]
+            line = f"{line}   [oracle retrieval: {oline}]"
         results[(off, yaw)] = line
         print(f"{off:.2f} m / {yaw:.0f} deg -> {line}", flush=True)
 
