@@ -111,7 +111,12 @@ def main():
     builder.save_trajectory(traj)
     builder.map.check_map()
     save_map(builder.map, os.path.join(args.saving_dir, "AirSLAM_mapv0.bin"))
-    print(f"saved {traj} and AirSLAM_mapv0.bin ({len(builder.map.keyframes)} keyframes)")
+    n_kf = len(builder.map.keyframes)
+    print(f"saved {traj} and AirSLAM_mapv0.bin ({n_kf} keyframes)")
+    # measured keyframe rate — consumed by scripts/bench_full_path.py
+    # --full-system to amortize local BA at the rate the system actually
+    # selects keyframes (reference policy: map_builder.cc AddKeyframe gates)
+    print(f"keyframe rate: {n_kf}/{n} = {n_kf / max(n, 1):.3f}")
 
 
 if __name__ == "__main__":

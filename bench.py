@@ -74,19 +74,27 @@ def main():
     # interleave the two scan lengths so slow phases of the tunnel hit both
     # estimates equally; the tunnel's noise is strictly additive, so
     # min-of-N converges on the true device rate from above
-    best = {T_LO: 1e9, T_HI: 1e9}
+    times = {T_LO: [], T_HI: []}
     for rep in range(REPS):
         for T in (T_LO, T_HI):
             seed = jnp.asarray(1e-5 * (rep + 1), jnp.float32)
             t0 = time.perf_counter()
             c = run_frames(plp, loip, lgp, frames_of[T], seed)
             _ = float(np.asarray(c))
-            best[T] = min(best[T], time.perf_counter() - t0)
+            times[T].append(time.perf_counter() - t0)
 
     if args.profile:
         jax.profiler.stop_trace()
+    best = {T: min(v) for T, v in times.items()}
+    med = {T: float(np.median(v)) for T, v in times.items()}
     dt = (best[T_HI] - best[T_LO]) / (T_HI - T_LO)
+    dt_med = (med[T_HI] - med[T_LO]) / (T_HI - T_LO)
     hz = 1.0 / dt
+    # tunnel-state evidence: the raw scan wall times (min and median of the
+    # interleaved reps) let a reader separate the device rate from the
+    # tunnel's sustained-state wander — if median_hz << value the tunnel was
+    # in a slow phase and `value` (min-of-N, noise strictly additive) is the
+    # trustworthy bound; if they agree the tunnel was quiet.
     print(
         json.dumps(
             {
@@ -94,6 +102,10 @@ def main():
                 "value": round(hz, 2),
                 "unit": "Hz @752x480 (detect 2 views + match, fused, in-graph sequential)",
                 "vs_baseline": round(hz / REFERENCE_HZ, 3),
+                "median_hz": round(1.0 / dt_med, 2),
+                "scan_s_min": {str(T): round(best[T], 4) for T in (T_LO, T_HI)},
+                "scan_s_median": {str(T): round(med[T], 4) for T in (T_LO, T_HI)},
+                "reps": REPS,
             }
         )
     )
