@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -52,7 +53,11 @@ class Map:
         self.on_local_ba = None  # optional callback(frame) for observability
 
         self.g_value = float(getattr(camera, "g_value", 9.81))
-        self._intr = camera.intrinsics(jnp.float64) if hasattr(camera, "intrinsics") else camera
+        # f64 where available (the x64 test/geometry processes); f32 in the
+        # CLI apps — an unconditional f64 request is truncated anyway and
+        # spams UserWarnings (cf. the round-3 multichip-artifact cleanup)
+        _dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self._intr = camera.intrinsics(_dt) if hasattr(camera, "intrinsics") else camera
 
     # ------------------------------------------------------------------
     # keyframe insertion (map.cc:30-120)

@@ -7,9 +7,12 @@ scripts/evaluation.py).
 EuRoC/dark-EuRoC are not in the container; the stand-in is the same loop
 sequence rendered (a) gamma-crushed + noisy low-light (--photometric dark,
 ~4x darker) and (b) with 1/f plane texture (natural-image statistics).
-Gates: dark VO ATE and reloc recall within ~2x of the bright run
-(tests/test_e2e_cli.py gates: ATE < 0.10 m, recall >= 0.7), and the textured
-world tracks to the same ATE gate as the flat-shaded one.
+Gates: dark vision-only VO ATE within ~2x of the bright gate; dark
+stereo-INERTIAL VO (the reference's dark pipeline is stereo-inertial —
+vo_euroc_dark.launch runs with imu0) must IMU-initialize and hold the bright
+ATE gate; refinement + relocalization run on the stereo-inertial map with
+gates calibrated to this chain's measured headroom (constants below); and
+the textured world tracks to the same ATE gate as the flat-shaded one.
 """
 
 import os
@@ -28,6 +31,13 @@ pytestmark = [
 ]
 
 N_FRAMES = 40
+
+# Measured on this chain (round 4, dark stereo-inertial map, query stride 4):
+# recall 10/10 = 1.000, loop pairs 2, dark VIO ATE 0.011 m. Gates sit two
+# queries / ~10x below the measurement so rng/machine variance can't flake
+# them, but a real regression (e.g. the round-3 dark loop-closure bug) trips.
+DARK_RELOC_GATE = 0.8
+DARK_VIO_ATE_GATE = 0.10
 
 
 def _run(cmd):
@@ -91,25 +101,54 @@ def test_dark_vo_ate(dark_dataset, dark_vo_out):
     assert ate < 0.20, f"dark ATE {ate:.3f} m"
 
 
-def test_dark_refinement_and_reloc(dark_dataset, dark_vo_out):
-    """Loop closure + relocalization stay functional in the dark: the loop
-    gate fires, and reloc recall is within ~2x of the bright 0.7 gate."""
+def test_dark_refinement_and_reloc(dark_dataset, dark_vio_out):
+    """Loop closure + relocalization stay functional in the dark, on the
+    stereo-INERTIAL map (the reference's dark pipeline is stereo-inertial:
+    vo_euroc_dark.launch): the loop gate fires, and reloc recall holds the
+    measured headroom (see gate note below)."""
     out = _run(["apps/map_refinement.py",
                 "--config_path", "configs/map_refinement/mr_euroc.yaml",
-                "--map_root", dark_vo_out, "--device", "cpu"])
+                "--map_root", dark_vio_out, "--device", "cpu"])
     loops = [l for l in out.splitlines() if l.startswith("loop pairs:")][-1]
     assert int(loops.split(":")[1]) >= 1, loops
 
-    traj = os.path.join(dark_vo_out, "reloc_trajectory.txt")
+    traj = os.path.join(dark_vio_out, "reloc_trajectory.txt")
     out = _run(["apps/relocalization.py",
                 "--config_path", "configs/relocalization/reloc_euroc.yaml",
-                "--map_root", dark_vo_out,
+                "--map_root", dark_vio_out,
                 "--query_folder", os.path.join(dark_dataset, "cam0", "data"),
                 "--traj_path", traj, "--query_stride", "4", "--device", "cpu"])
     line = [l for l in out.splitlines() if l.startswith("recall:")][-1]
     success, total = line.split(":")[1].split("=")[0].split("/")
     assert int(total) >= 8
-    assert int(success) / int(total) >= 0.5, line
+    # calibrated gate: measured DARK_RELOC_RECALL on this chain (round 4);
+    # gate at one query of headroom below the measurement
+    assert int(success) / int(total) >= DARK_RELOC_GATE, line
+
+
+@pytest.fixture(scope="module")
+def dark_vio_out(dark_dataset, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("darkout_vi"))
+    _run(["apps/visual_odometry.py",
+          "--config_path", "configs/visual_odometry/vo_euroc_dark.yaml",
+          "--camera_config_path", "configs/camera/synth_stereo_imu.yaml",
+          "--dataroot", dark_dataset, "--saving_dir", out, "--device", "cpu"])
+    return out
+
+
+def test_dark_vio_ate(dark_dataset, dark_vio_out):
+    """Dark VISUAL-INERTIAL run — darkness is precisely when the IMU matters
+    (the reference's dark-EuRoC pipeline is stereo-inertial:
+    launch/visual_odometry/vo_euroc_dark.launch). IMU initialization must
+    fire on the low-light sequence and the trajectory must hold the same
+    gate as the dark vision-only run."""
+    sys.path.insert(0, REPO)
+    from airslam_tpu.io.serialization import load_map
+
+    m, _ = load_map(os.path.join(dark_vio_out, "AirSLAM_mapv0.bin"))
+    assert m.imu_initialized, "VI initialization did not fire in the dark"
+    ate = _ate(os.path.join(dark_vio_out, "trajectory_v0.txt"), dark_dataset)
+    assert ate < DARK_VIO_ATE_GATE, f"dark VIO ATE {ate:.3f} m"
 
 
 def test_textured_vo_ate(textured_dataset, tmp_path_factory):
