@@ -7,10 +7,14 @@ carry).
 
 This is everything the per-frame hot loop runs on device
 (map_builder.cc:56-228 feature + tracking threads); what it excludes is only
-host-side map bookkeeping. Together with the per-keyframe local-BA time
-(apps/bench_backend.py) it gives an honest amortized full-system rate:
+host-side map bookkeeping.
 
-    1 / (t_frame + keyframe_rate * t_local_ba)
+``--full-system`` goes further and MEASURES the amortized full-system rate as
+ONE number from ONE scanned graph: the frame path every step plus the
+local-BA window (the per-keyframe cost) every k-th step behind a ``lax.cond``,
+with k = the measured keyframe cadence of the e2e loop run. Nothing is
+composed from separately-benched times (the reference's 73 Hz is likewise one
+measured program, demo/visual_odometry.cpp:49-58).
 
 The tunnel container cannot measure the host loop meaningfully (every
 dispatch pays a ~40 ms network round trip and the VM has one CPU core — see
@@ -32,7 +36,14 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_HZ = 73.0  # full system, /root/reference/README.md:33
-KEYFRAME_RATE = 0.2  # ~1 keyframe per 5 frames (reference keyframe policy)
+# MEASURED keyframe cadence of the 40-frame e2e loop run (visual_odometry.py
+# logs "keyframe rate: 21/40 = 0.525", bright vision run, round 4 — the dark
+# VIO run measured the same 21/40): one keyframe every ~2nd frame. This loop
+# trajectory turns continuously, so it keyframes far more often than the 0.2
+# the reference policy yields on EuRoC straightaways — using it makes the
+# amortized number CONSERVATIVE. Overridable with --kf-every; re-measure
+# after keyframe-policy changes.
+MEASURED_KF_EVERY = 2
 
 
 def build_full_step(vi: bool = False):
@@ -129,6 +140,31 @@ def build_full_step(vi: bool = False):
     return full_step, (plp, loip, lgp, kf, landmarks)
 
 
+def build_local_ba_window():
+    """The e2e local-BA window at the exact padded shapes the map builder
+    compiles (slam/map.py:29-30,301: F = WINDOW_SIZE(5) + MAX_FIXED_FRAMES(10)
+    = 15, P bucketed to 256, L bucketed to 32): 5 free recent poses, 10 fixed
+    observers, stereo point observations, masked line pad rows (line rows cost
+    compute regardless of mask — static shapes)."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from synthetic import make_point_scene, build_problem
+    from airslam_tpu.core.camera import Intrinsics
+
+    rng = np.random.RandomState(0)
+    scene = make_point_scene(f=15, p=256, rng=rng)
+    pose_fixed = np.zeros(15, bool)
+    pose_fixed[:10] = True
+    lines = np.tile(np.asarray([1.0, 0, 0, 0, 1.0, 0], np.float32), (32, 1))
+    prob = build_problem(scene, pose_fixed=pose_fixed, lines=lines,
+                         dtype=jnp.float32)
+    i64 = scene["intr"]
+    intr = Intrinsics(fx=i64.fx.astype(jnp.float32), fy=i64.fy.astype(jnp.float32),
+                      cx=i64.cx.astype(jnp.float32), cy=i64.cy.astype(jnp.float32),
+                      bf=i64.bf.astype(jnp.float32), width=752, height=480)
+    return prob, intr
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--t_lo", type=int, default=16)
@@ -136,12 +172,105 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--vi", action="store_true",
                     help="visual-inertial tracking variant (15-dof solver)")
+    ap.add_argument("--full-system", action="store_true", dest="full_system",
+                    help="MEASURE (not compose) the amortized full-system "
+                         "rate: one scanned graph running the frame path "
+                         "every step plus the local-BA window every k-th "
+                         "step via lax.cond")
+    ap.add_argument("--kf-every", type=int, default=0, dest="kf_every",
+                    help="k for --full-system; 0 = the measured keyframe "
+                         "rate of the e2e loop run (visual_odometry.py "
+                         "logs 'keyframe rate: ...')")
     args = ap.parse_args()
 
     from airslam_tpu.utils import jaxcache
 
     jaxcache.enable()
     full_step, (plp, loip, lgp, kf, landmarks) = build_full_step(vi=args.vi)
+
+    if args.full_system:
+        run_full_system(args, full_step, (plp, loip, lgp, kf, landmarks))
+        return
+
+    run_frame_path(args, full_step, (plp, loip, lgp, kf, landmarks))
+
+
+def run_full_system(args, full_step, fs_args):
+    """One scanned graph = frame path every step + the local-BA window every
+    k-th step (lax.cond — XLA conditionals execute one branch, so the BA cost
+    lands only on keyframe steps). The slope of this scan IS the amortized
+    full-system rate; nothing is composed from separately-benched numbers.
+    k defaults to the measured keyframe rate of the 40-frame e2e loop run
+    (visual_odometry.py 'keyframe rate:' log). Scan lengths are multiples of
+    k so both scans run exactly T/k BA steps."""
+    from airslam_tpu.backend import windows
+
+    plp, loip, lgp, kf, landmarks = fs_args
+    k = args.kf_every or MEASURED_KF_EVERY
+    prob, intr_ba = build_local_ba_window()
+
+    @jax.jit
+    def run_frames(plp, loip, lgp, kf, landmarks, frames, seed):
+        def body(carry, pair):
+            c, step = carry
+            out = full_step(plp, loip, lgp, kf, landmarks, pair + c * 1e-3)
+            c2 = sum(jnp.sum(o.astype(jnp.float32))
+                     for o in jax.tree_util.tree_leaves(out)) * 1e-9
+
+            def ba(x):
+                p2 = prob._replace(point_obs=prob.point_obs + x * 1e-12)
+                outp, pi, li = windows.local_ba(p2, intr_ba)
+                # consume every output — DCE-proof (see bench.py)
+                return (jnp.sum(outp.frames.twb) * 1e-9
+                        + jnp.sum(pi) * 1e-12 + jnp.sum(li) * 1e-12
+                        ).astype(jnp.float32)
+
+            cba = jax.lax.cond(step % k == 0, ba, lambda x: x * 0.0, c2)
+            return ((c2 + cba + seed).astype(jnp.float32),
+                    step + jnp.asarray(1, jnp.int32)), None
+
+        init = (seed, jnp.asarray(0, jnp.int32))
+        (c, _), _ = jax.lax.scan(body, init, frames)
+        return c
+
+    t_lo, t_hi = 8 * k, 88 * k  # exactly 8 / 88 BA steps per scan
+    rng = np.random.RandomState(1)
+    times = {t_lo: [], t_hi: []}
+    frames_of = {}
+    for T in (t_lo, t_hi):
+        frames_of[T] = jnp.asarray(rng.rand(T, 2, 480, 752).astype(np.float32))
+        c = run_frames(plp, loip, lgp, kf, landmarks, frames_of[T],
+                       jnp.asarray(0.0, jnp.float32))
+        _ = float(np.asarray(c))
+    for rep in range(args.reps):
+        for T in (t_lo, t_hi):  # interleaved — both estimates see the same
+            seed = jnp.asarray(1e-5 * (rep + 1), jnp.float32)  # tunnel phases
+            t0 = time.perf_counter()
+            c = run_frames(plp, loip, lgp, kf, landmarks, frames_of[T], seed)
+            _ = float(np.asarray(c))
+            times[T].append(time.perf_counter() - t0)
+    best = {T: min(v) for T, v in times.items()}
+    med = {T: float(np.median(v)) for T, v in times.items()}
+    dt = (best[t_hi] - best[t_lo]) / (t_hi - t_lo)
+    dt_med = (med[t_hi] - med[t_lo]) / (t_hi - t_lo)
+    print(json.dumps({
+        "metric": "full_system_hz_per_chip",
+        "value": round(1.0 / dt, 2),
+        "unit": ("Hz @752x480 — MEASURED single scanned graph: detect x2 + "
+                 "stereo match + temporal match + pose-only GN every frame, "
+                 "local BA (F=15 pad, P=256, L=32, 5+15 LM iters) every "
+                 f"{k}th frame via lax.cond"),
+        "kf_every": k,
+        "median_hz": round(1.0 / dt_med, 2),
+        "scan_s_min": {str(T): round(best[T], 4) for T in (t_lo, t_hi)},
+        "scan_s_median": {str(T): round(med[T], 4) for T in (t_lo, t_hi)},
+        "reps": args.reps,
+        "vs_reference_full_system": round(1.0 / dt / REFERENCE_HZ, 3),
+    }))
+
+
+def run_frame_path(args, full_step, fs_args):
+    plp, loip, lgp, kf, landmarks = fs_args
 
     @jax.jit
     def run_frames(plp, loip, lgp, kf, landmarks, frames, seed):
@@ -172,17 +301,12 @@ def main():
 
     dt = (best[args.t_hi] - best[args.t_lo]) / (args.t_hi - args.t_lo)
     hz = 1.0 / dt
-    # amortized full system with local BA at keyframe rate (8.5 ms measured
-    # by apps/bench_backend.py on the same chip, f32 15-frame padded window)
-    t_ba = 8.5e-3
-    amortized = 1.0 / (dt + KEYFRAME_RATE * t_ba)
     print(json.dumps({
         "metric": ("frame_compute_path_vi_hz_per_chip" if args.vi
                    else "frame_compute_path_hz_per_chip"),
         "value": round(hz, 2),
         "unit": "Hz @752x480 (detect x2 + stereo match + temporal match + pose-only GN 3x10, one graph)",
-        "amortized_full_system_hz": round(amortized, 2),
-        "vs_reference_full_system": round(amortized / REFERENCE_HZ, 3),
+        "vs_reference_full_system": round(hz / REFERENCE_HZ, 3),
     }))
 
 
