@@ -297,8 +297,8 @@ def _assemble_and_solve(prob: SparseBAProblem, intr, cfg, lam, robust,
     Hll_d = Hll_d + jnp.eye(4, dtype=dtype)[None] * (
         (jnp.einsum("lii->l", Hll) < 1e-10).astype(dtype)[:, None, None]
     )
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hpp_inv = gn.inv3_spd(Hpp_d)
+    Hll_inv = gn.inv4_spd(Hll_d)
 
     # -- Schur over landmark chunks ------------------------------------------
     Wp_pad = jnp.concatenate([Wcp, jnp.zeros((1, POSE_DIM, 3), dtype)], axis=0)
@@ -398,7 +398,7 @@ def _assemble_and_solve(prob: SparseBAProblem, intr, cfg, lam, robust,
     # scaling to a unit diagonal keeps the solve accurate in f32 on the MXU.
     d = jnp.sqrt(jnp.maximum(jnp.diagonal(Hred), 1e-12))
     Hs = Hred / (d[:, None] * d[None, :])
-    dx = jnp.linalg.solve(Hs, bred / d) / d
+    dx = gn.solve_spd(Hs, bred / d) / d
     if prob.imu is None:
         dxc = dx.reshape(f, POSE_DIM)
     else:

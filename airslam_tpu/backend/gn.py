@@ -268,6 +268,80 @@ def line_chi2(problem: BAProblem, intr, sigma=None):
     return jnp.sum(r * r * row_mask, axis=-1) * s
 
 
+def inv3_spd(A):
+    """Batched closed-form (adjugate) inverse of (..., 3, 3) SPD blocks.
+
+    ``jnp.linalg.inv`` lowers every tiny block to an LU While-loop on TPU;
+    for the damped Schur landmark blocks (P×3×3, L×4×4 via :func:`inv4_spd`)
+    the cofactor formula is exact, branch-free, and fuses into elementwise
+    vector ops. Blocks are SPD by construction (JᵀWJ + λI), so no pivoting
+    concern exists in the first place."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = e * i - f * h
+    c01 = c * h - b * i
+    c02 = b * f - c * e
+    c10 = f * g - d * i
+    c11 = a * i - c * g
+    c12 = c * d - a * f
+    c20 = d * h - e * g
+    c21 = b * g - a * h
+    c22 = a * e - b * d
+    det = a * c00 + b * c10 + c * c20
+    inv = jnp.stack([
+        jnp.stack([c00, c01, c02], axis=-1),
+        jnp.stack([c10, c11, c12], axis=-1),
+        jnp.stack([c20, c21, c22], axis=-1),
+    ], axis=-2)
+    return inv / det[..., None, None]
+
+
+def _inv2(A):
+    det = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+    inv = jnp.stack([
+        jnp.stack([A[..., 1, 1], -A[..., 0, 1]], axis=-1),
+        jnp.stack([-A[..., 1, 0], A[..., 0, 0]], axis=-1),
+    ], axis=-2)
+    return inv / det[..., None, None]
+
+
+def inv4_spd(A):
+    """Batched (..., 4, 4) SPD inverse via 2×2 block inversion (Schur on the
+    trailing 2×2) with closed-form 2×2 inverses — see :func:`inv3_spd` for
+    why not ``jnp.linalg.inv``."""
+    P = A[..., :2, :2]
+    Q = A[..., :2, 2:]
+    R = A[..., 2:, 2:]
+    Pi = _inv2(P)
+    PiQ = Pi @ Q
+    S = R - jnp.swapaxes(Q, -1, -2) @ PiQ
+    Si = _inv2(S)
+    TL = Pi + PiQ @ Si @ jnp.swapaxes(PiQ, -1, -2)
+    TR = -PiQ @ Si
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([jnp.swapaxes(TR, -1, -2), Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def solve_spd(H, b):
+    """Solve ``H x = b`` for a symmetric positive-definite ``H`` (any static
+    size) via Cholesky + two triangular solves.
+
+    ``jnp.linalg.solve`` lowers to LU with PARTIAL PIVOTING — a serial
+    row-swap While loop whose latency dominates the reduced-system solve of
+    every LM iteration on TPU (the local-BA window's damped Schur complement
+    is 227×227: 15 frames × 15 dof + 2 gravity dofs). XLA's Cholesky is
+    blocked and pivot-free; the damped LM Hessian is SPD by construction
+    (JᵀWJ + λI, λ > 0, fixed rows pinned to 1)."""
+    L = jax.lax.linalg.cholesky((H + jnp.swapaxes(H, -1, -2)) * 0.5)
+    y = jax.lax.linalg.triangular_solve(
+        L, b[..., None], left_side=True, lower=True)
+    x = jax.lax.linalg.triangular_solve(
+        L, y, left_side=True, lower=True, transpose_a=True)
+    return x[..., 0]
+
+
 def solve_spd_small(H, b):
     """Solve ``H x = b`` for a small (static n ≤ ~16) symmetric
     positive-definite ``H`` via a fully unrolled Cholesky factorization.
@@ -486,8 +560,8 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
         (jnp.einsum("lii->l", Hll) < 1e-10).astype(dtype)[:, None, None]
     )
 
-    Hpp_inv = jnp.linalg.inv(Hpp_d)
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hpp_inv = inv3_spd(Hpp_d)
+    Hll_inv = inv4_spd(Hll_d)
 
     # -- Schur complement onto the pose rows -------------------------------
     S_pt = jnp.einsum("pfab,pbc,pgdc->fgad", Wcp, Hpp_inv, Wcp)  # (F, F, 6, 6)
@@ -499,7 +573,7 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
     H = H - S_big
     b = b.at[rows].add(-(bs_pt + bs_ln).reshape(-1))
 
-    dx = jnp.linalg.solve(H, b)
+    dx = solve_spd(H, b)
 
     # -- back-substitute landmarks ----------------------------------------
     dxc = dx.reshape(-1)[: f * FRAME_DIM].reshape(f, FRAME_DIM)[:, :POSE_DIM]  # (F, 6)

@@ -562,7 +562,7 @@ def pose_graph_optimization(p: PoseGraphProblem, iterations: int = 20) -> PoseGr
         H = H + jnp.diag(lam * jnp.ones((D,), dtype))
         diag = jnp.diagonal(H)
         H = H + jnp.diag(jnp.where(diag < 1e-10, 1.0, 0.0))
-        dx = jnp.linalg.solve(H, b).reshape(f, 6)
+        dx = gn.solve_spd(H, b).reshape(f, 6)
         Rn, tn = jax.vmap(res.retract_pose)(Rwb, twb, dx)
         return Rn, tn
 
@@ -709,7 +709,7 @@ def imu_initialization(
         b = b.at[3 * f: 3 * f + 3].add(-info_prior_gyr * rbg)
         b = b.at[3 * f + 3: 3 * f + 6].add(-info_prior_acc * rba)
         H = H + lam * jnp.eye(n, dtype=dtype)
-        return x + jnp.linalg.solve(H, b)
+        return x + gn.solve_spd(H, b)
 
     def body(carry, _):
         x, lam, nu, c = carry

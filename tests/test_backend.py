@@ -344,3 +344,27 @@ def test_solve_spd_small_matches_lu():
     b = jnp.arange(6.0)
     x = jax.jit(gn.solve_spd_small)(H, b)
     np.testing.assert_allclose(np.asarray(x), np.arange(6.0) / 2.0, atol=1e-12)
+
+
+def test_closed_form_spd_inverses_and_solve():
+    """inv3_spd / inv4_spd (cofactor / 2x2-block formulas for the damped
+    Schur landmark blocks) and solve_spd (Cholesky + triangular solves for
+    the reduced pose system) replace jnp.linalg.inv/solve on the LM hot path
+    -- on TPU those lower to serial pivoted-LU while-loops. All three must be
+    exact on SPD inputs of the shapes the solvers use."""
+    rng = np.random.RandomState(7)
+    for n, inv in ((3, gn.inv3_spd), (4, gn.inv4_spd)):
+        J = rng.randn(64, 12, n)
+        H = np.einsum("bri,brj->bij", J, J) + 1e-4 * np.eye(n)
+        got = np.asarray(inv(jnp.asarray(H)))
+        ref = np.linalg.inv(H)
+        np.testing.assert_allclose(got, ref, rtol=0,
+                                   atol=1e-8 * max(1.0, np.abs(ref).max()))
+    for n in (90, 227):  # pose-graph / local-BA reduced-system sizes
+        J = rng.randn(4 * n, n)
+        H = J.T @ J + 1e-3 * np.eye(n)
+        b = rng.randn(n)
+        x = np.asarray(gn.solve_spd(jnp.asarray(H), jnp.asarray(b)))
+        ref = np.linalg.solve(H, b)
+        np.testing.assert_allclose(x, ref, rtol=0,
+                                   atol=1e-7 * max(1.0, np.abs(ref).max()))
