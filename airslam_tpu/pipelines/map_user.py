@@ -202,10 +202,15 @@ class MapUser:
                 g["score"] += self._junction_score(deputy, jvec, jwids, q_conns)
 
         best_score = max(g["score"] for g in groups.values())
-        if len(groups) > 3:
+        if len(groups) > 3 and not self.oracle_retrieval:
             groups = {d: g for d, g in groups.items() if g["score"] >= 0.5 * best_score}
 
-        ordered = sorted(groups.items(), key=lambda kv: -kv[1]["score"])[:3]
+        ordered = sorted(groups.items(), key=lambda kv: -kv[1]["score"])
+        if not self.oracle_retrieval:
+            # production path: top-3 groups (map_user.cc:242). Oracle mode
+            # attempts EVERY group so the measured recall is the pure
+            # matching/coverage ceiling, not an artifact of the cap.
+            ordered = ordered[:3]
 
         cands = [(frame, self.map.keyframes[d]) for d, _ in ordered]
         if hasattr(self.matcher, "matching_points_batched"):

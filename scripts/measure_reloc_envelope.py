@@ -10,6 +10,14 @@ Round-2 baseline (400-kpt map, no projection recovery): 10/10 @ 0.45 m/12°,
 recovery after PnP (pipelines/map_user.py) and an optional higher map-side
 keypoint budget (--map_kpts).
 
+Round-4 measured attribution of the OUTER envelope (this script, --oracle:
+perfect-recall retrieval AND every group attempted, no top-3 cap):
+  1.0 m/25°: BoW 10/10, oracle 10/10
+  1.5 m/35°: BoW 0/10,  oracle 1/10
+  2.0 m/45°: BoW 0/10,  oracle 0/10
+=> past 1.0 m/25° the ceiling is MATCHING/WORLD COVERAGE (mostly-unmapped
+views), not retrieval — perfect retrieval recovers at most one more query.
+
 Usage:
   python scripts/measure_reloc_envelope.py --work /tmp/envelope [--map_kpts 800]
 """
