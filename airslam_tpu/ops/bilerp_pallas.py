@@ -59,8 +59,15 @@ def _kernel(x_ref, y_ref, f_ref, o_ref, *, h, w, c):
     ioh = jax.lax.broadcasted_iota(jnp.int32, (nb, h), 1)
     wy = ((ioh == y0f.astype(jnp.int32)[:, None]) * (y1f - y)[:, None]
           + (ioh == y1f.astype(jnp.int32)[:, None]) * (y - y0f)[:, None])
+    # HIGHEST for f32 maps: DEFAULT takes the MXU's single bf16 pass (~8e-3
+    # relative error). Mosaic rejects fp32 contract precision on bf16
+    # operands ("Bad lhs type"), so the production bf16 maps keep DEFAULT —
+    # bf16×bf16 with f32 accumulation is single-pass exact either way.
+    prec = (jax.lax.Precision.HIGHEST if fm.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     rows = jnp.dot(wy.astype(fm.dtype), fm,
-                   preferred_element_type=jnp.float32)  # (NB, C·W) f32
+                   preferred_element_type=jnp.float32,
+                   precision=prec)  # (NB, C·W) f32
 
     # column weights expanded over the C·W lanes: lane index cw ↦ w = cw % W
     iow = jax.lax.broadcasted_iota(jnp.int32, (nb, c * w), 1) % w
@@ -135,9 +142,12 @@ def _kernel_t(x_ref, y_ref, f_ref, o_ref, *, h, w, c, nbr):
     wy = ((ioh == y0f.astype(jnp.int32)[None]) * (y1f - y)[None]
           + (ioh == y1f.astype(jnp.int32)[None]) * (y - y0f)[None])
     # rowsT[cw, p] = Σ_h fm[h, cw] · wy[h, p] — contraction over H on the MXU
+    prec = (jax.lax.Precision.HIGHEST if fm.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)  # see _kernel
     rows = jax.lax.dot_general(
         fm, wy.reshape(h, nb).astype(fm.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)  # (C·W, NB) f32
+        preferred_element_type=jnp.float32,
+        precision=prec)  # (C·W, NB) f32
     # column weights: 4-D iota gives the lane-w index without a mod
     iow = jax.lax.broadcasted_iota(jnp.int32, (c, w, nbr, 128), 1)
     wx = ((iow == x0f.astype(jnp.int32)[None, None])
@@ -176,11 +186,19 @@ def bilerp_points_t(fmap: jax.Array, x: jax.Array, y: jax.Array,
     head's thin/aux flatten wants anyway (ONNX Transpose([1,0,2]))."""
     h, w, c = fmap.shape
     shape = x.shape
+    # Mosaic requires the (nbr, 128) coordinate blocks to tile as (8, 128):
+    # maps whose C·W is too large for an 8-row block's (C·W, 1024) f32
+    # intermediate (~2 MB budget → C·W ≤ 512; the production LOI thin/aux
+    # maps are (128, 128, 4) = 512) can't run lane-packed — fall back to the
+    # row-major kernel, whose (NB, 1) coords tile legally at any NB ≥ 8.
+    nbr = (2 * 2**20) // (c * w * 4 * 128)
+    if nbr < 8:
+        out = bilerp_points(fmap, x, y, interpret=interpret)  # (..., C)
+        return jnp.moveaxis(out, -1, 0)
+    nbr = 8
     xf = x.reshape(-1).astype(jnp.float32)
     yf = y.reshape(-1).astype(jnp.float32)
     n = xf.shape[0]
-    # block: keep the (C·W, NB) f32 intermediates within ~2 MB
-    nbr = max(1, min(8, (2 * 2**20) // (c * w * 4 * 128)))
     nb = nbr * 128
     pad = -n % nb
     if pad:

@@ -185,8 +185,43 @@ def compute_oracle(out_path: str) -> None:
     blob["remap_right"] = np.asarray(
         remap(img, jnp.asarray(cam.map_right, jnp.float32)), np.float32)
 
+    # local-BA oracle: f64 CPU window solver on the canonical bench problem
+    # (the program the measured full-system graph runs every 2nd frame —
+    # round 4 switched its linear algebra to Cholesky/closed-form inverses,
+    # so the compiled-TPU f32 result is gated here too)
+    prob64, _ = _local_ba_problem(jnp.float64)
+    from tests.synthetic import default_intrinsics
+
+    out64, pin64, _ = windows.local_ba(prob64, default_intrinsics(jnp.float64))
+    blob["ba_twb"] = np.asarray(out64.frames.twb, np.float64)
+    blob["ba_points"] = np.asarray(out64.points, np.float64)
+    blob["ba_pin"] = np.asarray(pin64)
+
     np.savez_compressed(out_path, **blob)
     print(f"oracle written: {out_path} ({len(blob)} arrays)")
+
+
+def _local_ba_problem(dtype):
+    """The apps/bench_backend.py window problem (F=15, 10 fixed observers,
+    P=256 stereo points), deterministic — built identically on both sides."""
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from tests.synthetic import build_problem, make_point_scene
+
+    rng = np.random.RandomState(23)
+    scene = make_point_scene(f=15, p=256, rng=rng)
+    pose_fixed = np.zeros(15, bool)
+    pose_fixed[:10] = True
+    Rwb0 = scene["Rwb"].copy()
+    twb0 = scene["twb"].copy()
+    for i in range(10, 15):
+        Rwb0[i] = Rwb0[i] @ Rotation.from_rotvec(rng.randn(3) * 0.02).as_matrix()
+        twb0[i] = twb0[i] + rng.randn(3) * 0.05
+    pts0 = scene["points"] + rng.randn(*scene["points"].shape) * 0.05
+    prob = build_problem(scene, Rwb=Rwb0, twb=twb0, points=pts0,
+                         pose_fixed=pose_fixed, dtype=dtype)
+    return prob, scene
 
 
 # ---------------------------------------------------------------------------
@@ -268,6 +303,58 @@ def run_tpu(oracle_path: str, out_json: str) -> bool:
         got = np.asarray(remap_tiled.remap_planned(img, plan))
         err = float(np.abs(got - data[f"remap_{side}"]).max())
         check(f"remap_tiled_{side}_maxerr", err, 1e-3, op="<=")
+
+    # ---- 4. local BA compiled f32 (Cholesky + closed-form Schur inverses)
+    #         vs the f64 CPU oracle --------------------------------------
+    from airslam_tpu.backend import windows
+    from tests.synthetic import default_intrinsics
+
+    prob32, _ = _local_ba_problem(jnp.float32)
+    out32, pin32, _ = jax.jit(windows.local_ba)(
+        prob32, default_intrinsics(jnp.float32))
+    ba_t_err = float(np.abs(np.asarray(out32.frames.twb) - data["ba_twb"]).max())
+    free = ~np.asarray(prob32.point_fixed)
+    ba_p_err = float(np.abs(
+        np.asarray(out32.points) - data["ba_points"])[free].max()) \
+        if free.any() else 0.0
+    ba_pin_ag = float((np.asarray(pin32) == data["ba_pin"]).mean())
+    check("local_ba_t_err", ba_t_err, 2e-2, op="<=")
+    check("local_ba_point_err", ba_p_err, 5e-2, op="<=")
+    check("local_ba_point_inlier_agree", ba_pin_ag, 0.98)
+
+    # ---- 5. Pallas kernels compiled (Mosaic) vs their XLA twins on-chip --
+    from airslam_tpu.models.plnet import _onnx_bilerp
+    from airslam_tpu.ops import bilerp_pallas
+    from airslam_tpu.ops.attention import flash_mha, mha
+
+    rng5 = np.random.RandomState(11)
+    q = jnp.asarray(rng5.randn(4, 512, 64).astype(np.float32))
+    k = jnp.asarray(rng5.randn(4, 512, 64).astype(np.float32))
+    v = jnp.asarray(rng5.randn(4, 512, 64).astype(np.float32))
+    kv_mask = jnp.asarray(rng5.rand(512) > 0.2)
+    with jax.default_matmul_precision("highest"):  # f32 XLA twin (the
+        ref_att = mha(q, k, v, kv_mask=kv_mask)    # default bf16-downcasts)
+    att_err = float(jnp.abs(flash_mha(q, k, v, kv_mask=kv_mask) - ref_att).max())
+    check("flash_attention_vs_xla_maxerr", att_err, 1e-4, op="<=")
+
+    bx = jnp.asarray(rng5.uniform(-1.5, 129.5, (300,)).astype(np.float32))
+    by = jnp.asarray(rng5.uniform(-1.5, 129.5, (300,)).astype(np.float32))
+    # lane-packed kernel at the production LOI thin/aux shape (C·W = 512)
+    fmap4 = jnp.asarray(rng5.randn(128, 128, 4).astype(np.float32))
+    got_b = bilerp_pallas.bilerp_points_t(fmap4, bx, by)  # (4, 300)
+    with jax.default_matmul_precision("highest"):
+        want_b = _onnx_bilerp(fmap4, bx, by).T
+    check("bilerp_lanepacked_vs_xla_maxerr",
+          float(jnp.abs(got_b - want_b).max()), 1e-4, op="<=")
+    # large-C·W map: bilerp_points_t must take the row-major fallback (the
+    # (nbr<8, 128) lane-packed block is illegal under Mosaic) — this
+    # compiles the row-major kernel too
+    fmap128 = jnp.asarray(rng5.randn(128, 128, 128).astype(np.float32))
+    got_f = bilerp_pallas.bilerp_points_t(fmap128, bx, by)  # (128, 300)
+    with jax.default_matmul_precision("highest"):
+        want_f = _onnx_bilerp(fmap128, bx, by).T
+    check("bilerp_rowmajor_vs_xla_maxerr",
+          float(jnp.abs(got_f - want_f).max()), 1e-4, op="<=")
 
     ok = all(c["pass"] for c in checks)
     artifact = {

@@ -116,6 +116,30 @@ def test_lane_packed_matches_oracle_bf16_shaped():
                                np.asarray(want), rtol=2e-2, atol=2e-2)
 
 
+def test_lane_packed_large_map_falls_back(monkeypatch):
+    """Maps with C·W > 512 can't tile the lane-packed (nbr, 128) coordinate
+    blocks legally under Mosaic (nbr < 8 is neither divisible by 8 nor equal
+    to the row count): bilerp_points_t must route them through the row-major
+    kernel. Interpret mode never checks tiling, so this pins the DISPATCH —
+    the compiled-on-TPU legality is gated by scripts/verify_tpu.py."""
+    called = {}
+    orig = bilerp_pallas._call_t
+
+    def spy(*a, **k):
+        called["lane_packed"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(bilerp_pallas, "_call_t", spy)
+    rng = np.random.RandomState(6)
+    fmap = jnp.asarray(rng.randn(128, 128, 16), jnp.float32)  # C·W = 2048
+    x = jnp.asarray(rng.uniform(-1.5, 129.5, (300,)), jnp.float32)
+    y = jnp.asarray(rng.uniform(-1.5, 129.5, (300,)), jnp.float32)
+    got = bilerp_pallas.bilerp_points_t(fmap, x, y, interpret=True)
+    assert "lane_packed" not in called, "large map must not use lane-packed"
+    np.testing.assert_allclose(np.asarray(got).T, np.asarray(_oracle(fmap, x, y)),
+                               rtol=2e-6, atol=2e-6)
+
+
 def test_lane_packed_border_and_padding():
     fmap = jnp.ones((128, 128, 4), jnp.float32) * 3.0
     x = jnp.asarray([127.0, 127.5, -0.5, 5.0, 63.2], jnp.float32)

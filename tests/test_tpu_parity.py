@@ -60,3 +60,38 @@ def test_parity_artifact_green():
     failing = [c["name"] for c in art["checks"] if not c["pass"]]
     assert not failing, f"failing checks in committed artifact: {failing}"
     assert art["backend"] != "cpu", "artifact was produced on CPU, not TPU"
+
+
+E2E_ARTIFACT = os.path.join(REPO, "E2E_TPU.json")
+
+
+@pytest.mark.tpu
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("AIRSLAM_TPU_TESTS") != "1",
+    reason="live TPU e2e run is opt-in: set AIRSLAM_TPU_TESTS=1",
+)
+def test_tpu_e2e_live(tmp_path):
+    out = tmp_path / "E2E_TPU.json"
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "verify_tpu_e2e.py"),
+         "--out", str(out)],
+        env=env, cwd=REPO, timeout=3600,
+    )
+    assert r.returncode == 0, "verify_tpu_e2e.py reported a parity failure"
+    assert json.loads(out.read_text())["ok"]
+
+
+def test_e2e_artifact_green():
+    """The committed whole-system-on-TPU artifact: the actual mapping CLI run
+    on the real chip must compute the same trajectory/keyframes as the
+    certified CPU path (scripts/verify_tpu_e2e.py)."""
+    assert os.path.exists(E2E_ARTIFACT), (
+        "E2E_TPU.json missing — run scripts/verify_tpu_e2e.py on the TPU "
+        "host and commit the artifact"
+    )
+    with open(E2E_ARTIFACT) as f:
+        art = json.load(f)
+    failing = [c["name"] for c in art["checks"] if not c["pass"]]
+    assert art["ok"] and not failing, f"red e2e artifact: {failing}"
