@@ -428,16 +428,22 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
     f = problem.frames.Rwb.shape[0]
     p = problem.points.shape[0]
     l = problem.lines.shape[0]
-    D = f * FRAME_DIM + GRAV_DIM
+    # Vision-only problems: velocity/bias rows are touched ONLY by IMU
+    # factors. Without them those 9 of every 15 per-frame dims are all-zero
+    # rows that the damping pins to identity with dx = 0 — solving them is
+    # pure waste. Build the reduced pose-only system instead (F=15 window:
+    # 227×227 → 92×92, ~15× fewer Cholesky FLOPs and a 2.4× smaller H
+    # assembly); exact, since the dropped rows/cols carry no coupling.
+    # ``problem.imu is None`` is static under jit (pytree structure).
+    imu_on = problem.imu is not None
+    stride = FRAME_DIM if imu_on else POSE_DIM
+    D = f * stride + GRAV_DIM
     dtype = problem.points.dtype
 
     H = jnp.zeros((D, D), dtype)
     b = jnp.zeros((D,), dtype)
 
     pose_cols = jnp.arange(POSE_DIM)
-
-    def frame_slice(fi):
-        return fi * FRAME_DIM
 
     # -- points ------------------------------------------------------------
     r, row_mask, depth_ok, Jc, Jp = _point_grid_residuals(problem, intr, True)
@@ -479,7 +485,7 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
     # scatter pose blocks into the big H
     Hcc = Hcc_pt + Hcc_ln  # (F, 6, 6)
     bc = bc_pt + bc_ln
-    for_idx = jnp.arange(f) * FRAME_DIM
+    for_idx = jnp.arange(f) * stride
 
     rows = (for_idx[:, None] + pose_cols[None, :]).reshape(-1)  # (F*6,)
     H = H.at[jnp.ix_(rows, rows)].add(_blockdiag(Hcc))
@@ -535,14 +541,10 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
 
         cols = jax.vmap(factor_cols)(jnp.arange(ir.shape[0]))  # (K, 32)
 
-        def scatter_one(carry, kc):
-            Hc, bc2 = carry
-            Hk_k, bk_k, col = kc
-            Hc = Hc.at[col[:, None], col[None, :]].add(Hk_k)
-            bc2 = bc2.at[col].add(bk_k)
-            return (Hc, bc2), None
-
-        (H, b), _ = jax.lax.scan(scatter_one, (H, b), (Hk, bk, cols))
+        # one batched scatter-add over all K factor blocks (a lax.scan here
+        # serializes K tiny updates into K kernel chains)
+        H = H.at[cols[:, :, None], cols[:, None, :]].add(Hk)
+        b = b.at[cols].add(bk)
 
     # -- damping + fixed-variable pinning ----------------------------------
     lamI = lam * jnp.ones((D,), dtype)
@@ -564,24 +566,40 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
     Hll_inv = inv4_spd(Hll_d)
 
     # -- Schur complement onto the pose rows -------------------------------
-    S_pt = jnp.einsum("pfab,pbc,pgdc->fgad", Wcp, Hpp_inv, Wcp)  # (F, F, 6, 6)
-    S_ln = jnp.einsum("lfab,lbc,lgdc->fgad", Wcl, Hll_inv, Wcl)
-    bs_pt = jnp.einsum("pfab,pbc,pc->fa", Wcp, Hpp_inv, bp)
-    bs_ln = jnp.einsum("lfab,lbc,lc->fa", Wcl, Hll_inv, bl)
+    # One big MXU contraction per landmark family instead of the F² einsum
+    # "pfab,pbc,pgdc->fgad" (tiny 6×6 blocks lower to many small kernels):
+    # flatten (landmark, landmark-dof) into the contraction dim — the
+    # resulting [(f,a), (g,d)] layout is exactly the expanded block matrix.
+    W2p = Wcp.transpose(0, 3, 1, 2).reshape(p * 3, f * POSE_DIM)  # [(p,b),(f,a)]
+    Y2p = jnp.einsum("pfab,pbc->pfac", Wcp, Hpp_inv) \
+        .transpose(0, 3, 1, 2).reshape(p * 3, f * POSE_DIM)       # [(p,c),(f,a)]
+    W2l = Wcl.transpose(0, 3, 1, 2).reshape(l * 4, f * POSE_DIM)
+    Y2l = jnp.einsum("lfab,lbc->lfac", Wcl, Hll_inv) \
+        .transpose(0, 3, 1, 2).reshape(l * 4, f * POSE_DIM)
+    S_big6 = Y2p.T @ W2p + Y2l.T @ W2l                  # (F·6, F·6)
+    bs = Y2p.T @ bp.reshape(-1) + Y2l.T @ bl.reshape(-1)  # (F·6,)
 
-    S_big = _expand_pose_blocks(S_pt + S_ln, f, D)
+    S_big = _expand_pose_blocks(S_big6, f, D, stride)
     H = H - S_big
-    b = b.at[rows].add(-(bs_pt + bs_ln).reshape(-1))
+    b = b.at[rows].add(-bs)
 
     dx = solve_spd(H, b)
 
     # -- back-substitute landmarks ----------------------------------------
-    dxc = dx.reshape(-1)[: f * FRAME_DIM].reshape(f, FRAME_DIM)[:, :POSE_DIM]  # (F, 6)
-    dp = jnp.einsum("pij,pj->pi", Hpp_inv, bp - jnp.einsum("pfij,fi->pj", Wcp, dxc))
-    dl = jnp.einsum("lij,lj->li", Hll_inv, bl - jnp.einsum("lfij,fi->lj", Wcl, dxc))
+    dxc = dx.reshape(-1)[: f * stride].reshape(f, stride)[:, :POSE_DIM]  # (F, 6)
+    dp = jnp.einsum("pij,pj->pi", Hpp_inv,
+                    bp - (W2p @ dxc.reshape(-1)).reshape(p, 3))
+    dl = jnp.einsum("lij,lj->li", Hll_inv,
+                    bl - (W2l @ dxc.reshape(-1)).reshape(l, 4))
 
-    dx_frames = dx[: f * FRAME_DIM].reshape(f, FRAME_DIM)
-    dg = dx[f * FRAME_DIM :]
+    if imu_on:
+        dx_frames = dx[: f * FRAME_DIM].reshape(f, FRAME_DIM)
+    else:
+        # vel/bias dims were never in the system — their update is zero
+        dx_frames = (jnp.zeros((f, FRAME_DIM), dtype)
+                     .at[:, :POSE_DIM].set(dx[: f * POSE_DIM]
+                                           .reshape(f, POSE_DIM)))
+    dg = dx[f * stride:]
     return dx_frames, dg, dp, dl
 
 
@@ -592,11 +610,14 @@ def _blockdiag(blocks):
     return jnp.einsum("fg,fij->figj", eye, blocks).reshape(f * k, f * k)
 
 
-def _expand_pose_blocks(S, f, D):
-    """(F, F, 6, 6) pose-block matrix -> (D, D) with pose rows at stride 15."""
-    out = jnp.zeros((D, D), S.dtype)
-    big = S.transpose(0, 2, 1, 3).reshape(f * POSE_DIM, f * POSE_DIM)
-    rows = (jnp.arange(f)[:, None] * FRAME_DIM + jnp.arange(POSE_DIM)[None, :]).reshape(-1)
+def _expand_pose_blocks(big, f, D, stride=FRAME_DIM):
+    """(F·6, F·6) pose matrix in [(f,a), (g,d)] layout -> (D, D) with pose
+    rows at ``stride`` (15 with IMU states in the system; 6 for the reduced
+    vision-only form, where it occupies the leading block verbatim)."""
+    out = jnp.zeros((D, D), big.dtype)
+    if stride == POSE_DIM:
+        return out.at[: f * POSE_DIM, : f * POSE_DIM].set(big)
+    rows = (jnp.arange(f)[:, None] * stride + jnp.arange(POSE_DIM)[None, :]).reshape(-1)
     return out.at[jnp.ix_(rows, rows)].set(big)
 
 
