@@ -40,6 +40,10 @@ from airslam_tpu.backend import residuals as res
 from airslam_tpu.core import lie
 
 POSE_DIM = 6
+# Smallest |det| admitted by the closed-form block inverses; ~1e-30 is far
+# below any legitimate damped-SPD determinant (λ floor ≥ 1e-5 ⇒ det ≥ 1e-15)
+# yet keeps 1/det finite in f32's subnormal range.
+_DET_FLOOR = 1e-30
 VEL_DIM = 3
 BIAS_DIM = 6
 FRAME_DIM = POSE_DIM + VEL_DIM + BIAS_DIM  # 15
@@ -130,7 +134,7 @@ def _point_grid_residuals(problem: BAProblem, intr, with_jac: bool):
             return r, z
 
         if with_jac:
-            J, (r, z) = _jac_with_value(f, 9)
+            J, (r, z) = _jac_with_value(f, 9, problem.points.dtype)
             return r, z, J[:, 0:6], J[:, 6:9]
         r, z = f(jnp.zeros((9,), problem.points.dtype))
         return r, z, None, None
@@ -151,9 +155,13 @@ def _point_grid_residuals(problem: BAProblem, intr, with_jac: bool):
     return r, row_mask, z > 0, Jc, Jp
 
 
-def _jac_with_value(f, n):
-    """Forward-mode Jacobian at zero + primal value, for f: (n,) -> (out, aux)."""
-    zero = jnp.zeros((n,))
+def _jac_with_value(f, n, dtype=None):
+    """Forward-mode Jacobian at zero + primal value, for f: (n,) -> (out, aux).
+
+    ``dtype`` types the tangent seed: an untyped (default-f64-under-x64) seed
+    promotes every residual/Jacobian grid of an f32 problem to f64 inside an
+    x64 host process."""
+    zero = jnp.zeros((n,), dtype)
 
     def split(delta):
         out = f(delta)
@@ -175,7 +183,7 @@ def _line_grid_residuals(problem: BAProblem, intr, with_jac: bool):
             return r, r
 
         if with_jac:
-            J, (r, _) = _jac_with_value(f, 10)
+            J, (r, _) = _jac_with_value(f, 10, problem.lines.dtype)
             return r, J[:, 0:6], J[:, 6:10]
         r, _ = f(jnp.zeros((10,), problem.lines.dtype))
         return r, None, None
@@ -223,7 +231,7 @@ def imu_residuals(fr: FrameStates, imu: IMUFactors, Rwg, with_jac: bool,
             vj2 = vj + dj[6:9]
             bgj2 = bgj + dj[9:12]
             baj2 = baj + dj[12:15]
-            Rwg2 = Rwg @ lie.so3_exp(jnp.concatenate([dg, jnp.zeros(1)]))
+            Rwg2 = Rwg @ lie.so3_exp(jnp.concatenate([dg, jnp.zeros(1, dg.dtype)]))
             r9 = res.imu_residual(
                 Ri2, ti2, vi2, Rj2, tj2, vj2, bgj2, baj2,
                 imu.dR[k], imu.dV[k], imu.dP[k],
@@ -238,9 +246,9 @@ def imu_residuals(fr: FrameStates, imu: IMUFactors, Rwg, with_jac: bool,
             return r, r
 
         if with_jac:
-            J, (r, _) = _jac_with_value(f, 32)
+            J, (r, _) = _jac_with_value(f, 32, fr.twb.dtype)
             return r, J
-        r, _ = f(jnp.zeros((32,)))
+        r, _ = f(jnp.zeros((32,), fr.twb.dtype))
         return r, None
 
     ks = jnp.arange(imu.idx_i.shape[0])
@@ -289,6 +297,11 @@ def inv3_spd(A):
     c21 = b * g - a * h
     c22 = a * e - b * d
     det = a * c00 + b * c10 + c * c20
+    # Floor |det| away from zero: a block that passes the trace pinning but is
+    # near-singular under tiny LM damping would otherwise produce inf/NaN in
+    # f32 and poison the Schur complement (advisor r4). sign(0) → +tiny.
+    det = jnp.where(det >= 0, jnp.maximum(det, _DET_FLOOR),
+                    jnp.minimum(det, -_DET_FLOOR))
     inv = jnp.stack([
         jnp.stack([c00, c01, c02], axis=-1),
         jnp.stack([c10, c11, c12], axis=-1),
@@ -299,6 +312,8 @@ def inv3_spd(A):
 
 def _inv2(A):
     det = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+    det = jnp.where(det >= 0, jnp.maximum(det, _DET_FLOOR),
+                    jnp.minimum(det, -_DET_FLOOR))
     inv = jnp.stack([
         jnp.stack([A[..., 1, 1], -A[..., 0, 1]], axis=-1),
         jnp.stack([-A[..., 1, 0], A[..., 0, 0]], axis=-1),
@@ -440,10 +455,13 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
     D = f * stride + GRAV_DIM
     dtype = problem.points.dtype
 
-    H = jnp.zeros((D, D), dtype)
-    b = jnp.zeros((D,), dtype)
-
-    pose_cols = jnp.arange(POSE_DIM)
+    # NOTE on contraction style: every landmark-family contraction below is
+    # written as broadcast-multiply-reduce instead of einsum. The
+    # contractions are tiny (residual rows r=3/4, dof 3/4/6) and batched over
+    # (P, F); einsum lowers them to dot_general custom calls whose operand
+    # layout requirements materialize ~1.5 ms/window of pure relayout copies
+    # (measured per-HLO-op, scripts/trace_local_ba.py). The broadcast forms
+    # stay in loop/reduce fusions on the VPU with no layout changes.
 
     # -- points ------------------------------------------------------------
     r, row_mask, depth_ok, Jc, Jp = _point_grid_residuals(problem, intr, True)
@@ -458,12 +476,14 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
     point_free = ((~problem.point_fixed)).astype(dtype)
     Jp = Jp * row_mask[..., None] * point_free[:, None, None, None]
     rw = r * row_mask
+    wJc = Jc * w[..., None, None]  # (P, F, 3, 6)
+    wJp = Jp * w[..., None, None]  # (P, F, 3, 3)
 
-    Hcc_pt = jnp.einsum("pf,pfri,pfrj->fij", w, Jc, Jc)
-    bc_pt = -jnp.einsum("pf,pfri,pfr->fi", w, Jc, rw)
-    Hpp = jnp.einsum("pf,pfri,pfrj->pij", w, Jp, Jp)
-    bp = -jnp.einsum("pf,pfri,pfr->pi", w, Jp, rw)
-    Wcp = jnp.einsum("pf,pfri,pfrj->pfij", w, Jc, Jp)  # (P, F, 6, 3)
+    Hcc_pt = jnp.sum(wJc[..., :, None] * Jc[..., None, :], axis=(0, 2))
+    bc_pt = -jnp.sum(wJc * rw[..., None], axis=(0, 2))
+    Hpp = jnp.sum(wJp[..., :, None] * Jp[..., None, :], axis=(1, 2))
+    bp = -jnp.sum(wJp * rw[..., None], axis=(1, 2))
+    Wcp = jnp.sum(wJc[..., :, None] * Jp[..., None, :], axis=2)  # (P,F,6,3)
 
     # -- lines -------------------------------------------------------------
     lr, lrow_mask, LJc, LJl = _line_grid_residuals(problem, intr, True)
@@ -475,21 +495,26 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
     line_free = ((~problem.line_fixed)).astype(dtype)
     LJl = LJl * lrow_mask[..., None] * line_free[:, None, None, None]
     lrw = lr * lrow_mask
+    wLJc = LJc * lw[..., None, None]  # (L, F, 4, 6)
+    wLJl = LJl * lw[..., None, None]  # (L, F, 4, 4)
 
-    Hcc_ln = jnp.einsum("lf,lfri,lfrj->fij", lw, LJc, LJc)
-    bc_ln = -jnp.einsum("lf,lfri,lfr->fi", lw, LJc, lrw)
-    Hll = jnp.einsum("lf,lfri,lfrj->lij", lw, LJl, LJl)
-    bl = -jnp.einsum("lf,lfri,lfr->li", lw, LJl, lrw)
-    Wcl = jnp.einsum("lf,lfri,lfrj->lfij", lw, LJc, LJl)  # (L, F, 6, 4)
+    Hcc_ln = jnp.sum(wLJc[..., :, None] * LJc[..., None, :], axis=(0, 2))
+    bc_ln = -jnp.sum(wLJc * lrw[..., None], axis=(0, 2))
+    Hll = jnp.sum(wLJl[..., :, None] * LJl[..., None, :], axis=(1, 2))
+    bl = -jnp.sum(wLJl * lrw[..., None], axis=(1, 2))
+    Wcl = jnp.sum(wLJc[..., :, None] * LJl[..., None, :], axis=2)  # (L,F,6,4)
 
-    # scatter pose blocks into the big H
     Hcc = Hcc_pt + Hcc_ln  # (F, 6, 6)
     bc = bc_pt + bc_ln
+    pose_cols = jnp.arange(POSE_DIM)
     for_idx = jnp.arange(f) * stride
-
     rows = (for_idx[:, None] + pose_cols[None, :]).reshape(-1)  # (F*6,)
-    H = H.at[jnp.ix_(rows, rows)].add(_blockdiag(Hcc))
-    b = b.at[rows].add(bc.reshape(-1))
+
+    if imu_on:
+        H = jnp.zeros((D, D), dtype)
+        b = jnp.zeros((D,), dtype)
+        H = H.at[jnp.ix_(rows, rows)].add(_blockdiag(Hcc))
+        b = b.at[rows].add(bc.reshape(-1))
 
     # -- IMU ---------------------------------------------------------------
     if problem.imu is not None:
@@ -546,13 +571,7 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
         H = H.at[cols[:, :, None], cols[:, None, :]].add(Hk)
         b = b.at[cols].add(bk)
 
-    # -- damping + fixed-variable pinning ----------------------------------
-    lamI = lam * jnp.ones((D,), dtype)
-    H = H + jnp.diag(lamI)
-    # pin untouched dims (fixed frames' pose/vel/bias cols are all-zero rows)
-    diag = jnp.diagonal(H)
-    H = H + jnp.diag(jnp.where(diag < 1e-10, 1.0, 0.0))
-
+    # -- landmark-block damping + closed-form inverses ---------------------
     Hpp_d = Hpp + lam * jnp.eye(3, dtype=dtype)[None]
     Hpp_d = Hpp_d + jnp.eye(3, dtype=dtype)[None] * (
         (jnp.einsum("pii->p", Hpp) < 1e-10).astype(dtype)[:, None, None]
@@ -566,40 +585,49 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
     Hll_inv = inv4_spd(Hll_d)
 
     # -- Schur complement onto the pose rows -------------------------------
-    # One big MXU contraction per landmark family instead of the F² einsum
-    # "pfab,pbc,pgdc->fgad" (tiny 6×6 blocks lower to many small kernels):
-    # flatten (landmark, landmark-dof) into the contraction dim — the
-    # resulting [(f,a), (g,d)] layout is exactly the expanded block matrix.
-    W2p = Wcp.transpose(0, 3, 1, 2).reshape(p * 3, f * POSE_DIM)  # [(p,b),(f,a)]
-    Y2p = jnp.einsum("pfab,pbc->pfac", Wcp, Hpp_inv) \
-        .transpose(0, 3, 1, 2).reshape(p * 3, f * POSE_DIM)       # [(p,c),(f,a)]
-    W2l = Wcl.transpose(0, 3, 1, 2).reshape(l * 4, f * POSE_DIM)
-    Y2l = jnp.einsum("lfab,lbc->lfac", Wcl, Hll_inv) \
-        .transpose(0, 3, 1, 2).reshape(l * 4, f * POSE_DIM)
-    S_big6 = Y2p.T @ W2p + Y2l.T @ W2l                  # (F·6, F·6)
-    bs = Y2p.T @ bp.reshape(-1) + Y2l.T @ bl.reshape(-1)  # (F·6,)
-
-    S_big = _expand_pose_blocks(S_big6, f, D, stride)
-    H = H - S_big
-    b = b.at[rows].add(-bs)
-
-    dx = solve_spd(H, b)
-
-    # -- back-substitute landmarks ----------------------------------------
-    dxc = dx.reshape(-1)[: f * stride].reshape(f, stride)[:, :POSE_DIM]  # (F, 6)
-    dp = jnp.einsum("pij,pj->pi", Hpp_inv,
-                    bp - (W2p @ dxc.reshape(-1)).reshape(p, 3))
-    dl = jnp.einsum("lij,lj->li", Hll_inv,
-                    bl - (W2l @ dxc.reshape(-1)).reshape(l, 4))
+    # Y = W · Hinv per landmark (broadcast-reduce, see NOTE above), then ONE
+    # real contraction per family over (landmark, landmark-dof) — the only
+    # matmul-shaped op in the assembly.
+    Y = jnp.sum(Wcp[..., :, None] * Hpp_inv[:, None, None, :, :], axis=3)
+    Yl = jnp.sum(Wcl[..., :, None] * Hll_inv[:, None, None, :, :], axis=3)
+    S_big6 = (jnp.einsum("pfac,pgdc->fagd", Y, Wcp).reshape(
+        f * POSE_DIM, f * POSE_DIM)
+        + jnp.einsum("lfac,lgdc->fagd", Yl, Wcl).reshape(
+            f * POSE_DIM, f * POSE_DIM))
+    bs = (jnp.sum(Y * bp[:, None, None, :], axis=(0, 3))
+          + jnp.sum(Yl * bl[:, None, None, :], axis=(0, 3)))  # (F, 6)
 
     if imu_on:
+        # damping + pinning on the full 15-dof-per-frame system
+        H = H + jnp.diag(lam * jnp.ones((D,), dtype))
+        diag = jnp.diagonal(H)
+        H = H + jnp.diag(jnp.where(diag < 1e-10, 1.0, 0.0))
+        H = H - _expand_pose_blocks(S_big6, f, D, stride)
+        b = b.at[rows].add(-bs.reshape(-1))
+        dx = solve_spd(H, b)
         dx_frames = dx[: f * FRAME_DIM].reshape(f, FRAME_DIM)
+        dg = dx[f * stride:]
+        dxc = dx_frames[:, :POSE_DIM]
     else:
-        # vel/bias dims were never in the system — their update is zero
+        # vision-only: gravity has no gradient (it enters only through IMU
+        # factors) and vel/bias dims were never in the system — the reduced
+        # system is exactly the leading F·6 pose block, assembled with
+        # static slices (no scatter).
+        Htop = _blockdiag(Hcc) - S_big6
+        Htop = Htop + jnp.diag(lam * jnp.ones((f * POSE_DIM,), dtype))
+        diag = jnp.diagonal(Htop)
+        Htop = Htop + jnp.diag(jnp.where(diag < 1e-10, 1.0, 0.0))
+        dxp = solve_spd(Htop, (bc - bs).reshape(-1))
+        dxc = dxp.reshape(f, POSE_DIM)
         dx_frames = (jnp.zeros((f, FRAME_DIM), dtype)
-                     .at[:, :POSE_DIM].set(dx[: f * POSE_DIM]
-                                           .reshape(f, POSE_DIM)))
-    dg = dx[f * stride:]
+                     .at[:, :POSE_DIM].set(dxc))
+        dg = jnp.zeros((GRAV_DIM,), dtype)
+
+    # -- back-substitute landmarks ----------------------------------------
+    gp = bp - jnp.sum(Wcp * dxc[None, :, :, None], axis=(1, 2))  # (P, 3)
+    gl = bl - jnp.sum(Wcl * dxc[None, :, :, None], axis=(1, 2))  # (L, 4)
+    dp = jnp.sum(Hpp_inv * gp[:, None, :], axis=2)
+    dl = jnp.sum(Hll_inv * gl[:, None, :], axis=2)
     return dx_frames, dg, dp, dl
 
 

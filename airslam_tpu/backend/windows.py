@@ -563,6 +563,11 @@ def pose_graph_optimization(p: PoseGraphProblem, iterations: int = 20) -> PoseGr
         diag = jnp.diagonal(H)
         H = H + jnp.diag(jnp.where(diag < 1e-10, 1.0, 0.0))
         dx = gn.solve_spd(H, b).reshape(f, 6)
+        # A numerically non-PD H (f32 round-off at tiny lambda) yields NaN from
+        # the pivot-free Cholesky. The LM body below rejects such steps via the
+        # cost gate (NaN < cost is False), but zeroing here keeps the candidate
+        # state finite so the rejected iteration costs nothing downstream.
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
         Rn, tn = jax.vmap(res.retract_pose)(Rwb, twb, dx)
         return Rn, tn
 
@@ -709,7 +714,10 @@ def imu_initialization(
         b = b.at[3 * f: 3 * f + 3].add(-info_prior_gyr * rbg)
         b = b.at[3 * f + 3: 3 * f + 6].add(-info_prior_acc * rba)
         H = H + lam * jnp.eye(n, dtype=dtype)
-        return x + gn.solve_spd(H, b)
+        dx = gn.solve_spd(H, b)
+        # NaN-safe: the LM cost gate in body() rejects non-finite candidates,
+        # and zeroing keeps the candidate state itself finite (advisor r4).
+        return x + jnp.where(jnp.isfinite(dx), dx, 0.0)
 
     def body(carry, _):
         x, lam, nu, c = carry

@@ -171,6 +171,12 @@ class MapRefinementConfigs:
     camera_file: Optional[str] = None
     map_root: Optional[str] = None
     model_dir: Optional[str] = None
+    # The reference hardcodes the pose-graph branch gate at 80k mappoints
+    # (map_refiner.cc:464) — implicitly sized to its EuRoC-scale maps. An
+    # optional YAML key (`pose_graph_min_mappoints`) makes the gate explicit
+    # so smaller rigs/datasets can exercise the branch; absent = reference
+    # value.
+    pose_graph_min_mappoints: int = 80000
 
     @classmethod
     def load(cls, path: str, **overrides):
@@ -180,6 +186,8 @@ class MapRefinementConfigs:
             matcher=parse_matcher_config(node),
             backend_optimization=parse_ba_config(node, "backend"),
             publisher=parse_publisher_config(node),
+            pose_graph_min_mappoints=int(
+                node.get("pose_graph_min_mappoints", 80000)),
             **overrides,
         )
 

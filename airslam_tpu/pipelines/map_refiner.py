@@ -52,6 +52,7 @@ class MapRefiner:
         self.merged_mappoints: Dict[int, Set[int]] = {}
         self.n_merged_mappoints = 0
         self.n_merged_maplines = 0
+        self.pose_graph_ran = False
 
     # ------------------------------------------------------------------
 
@@ -60,6 +61,7 @@ class MapRefiner:
         n_loops = self.loop_detection()
         if len(self.map.mappoints) >= pose_graph_min_mappoints and self.loop_pairs:
             self.pose_graph_refinement()
+            self.pose_graph_ran = True
         self.merge_map()
         self.global_map_optimization()
         self.build_junction_database()

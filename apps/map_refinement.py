@@ -66,8 +66,11 @@ def main():
     matcher = PointMatcher(cfg.matcher, params=mat_params)
 
     refiner = MapRefiner(m, matcher, voc)
-    n_loops = refiner.run()
+    n_loops = refiner.run(
+        pose_graph_min_mappoints=cfg.pose_graph_min_mappoints)
     print(f"loop pairs: {n_loops}")
+    print(f"pose graph refinement: "
+          f"{'ran' if refiner.pose_graph_ran else 'skipped'}")
     print(f"merged mappoints: {refiner.n_merged_mappoints}  "
           f"maplines: {refiner.n_merged_maplines}")
 

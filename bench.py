@@ -74,7 +74,35 @@ def main():
     # interleave the two scan lengths so slow phases of the tunnel hit both
     # estimates equally; the tunnel's noise is strictly additive, so
     # min-of-N converges on the true device rate from above
+    # Self-calibration (round-4 verdict Weak #5): a FIXED reference program —
+    # 8 chained 1024³ bf16 matmuls per scan step, nothing from this repo —
+    # measured with the same slope method, interleaved with the same reps so
+    # it samples the same tunnel phases. Its per-step time is a property of
+    # the chip alone; comparing it across rounds separates "program got
+    # faster" from "tunnel got lucky" without any external context.
+    CAL_LO, CAL_HI = 32, 512
+
+    @jax.jit
+    def run_calib(x, steps):
+        def body(c, _):
+            y = c
+            for _ in range(8):
+                y = y @ x
+            # renormalize so the chain neither explodes nor denormals out
+            y = y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-6)
+            return y, None
+
+        y, _ = jax.lax.scan(body, x, None, length=steps.shape[0])
+        return jnp.sum(y)
+
+    xcal = jnp.asarray(rng.randn(1024, 1024).astype(np.float32) * 0.03,
+                       jnp.bfloat16)
+    cal_steps = {T: jnp.zeros((T,)) for T in (CAL_LO, CAL_HI)}
+    for T in (CAL_LO, CAL_HI):
+        _ = float(np.asarray(run_calib(xcal, cal_steps[T])))
+
     times = {T_LO: [], T_HI: []}
+    cal_times = {CAL_LO: [], CAL_HI: []}
     for rep in range(REPS):
         for T in (T_LO, T_HI):
             seed = jnp.asarray(1e-5 * (rep + 1), jnp.float32)
@@ -82,9 +110,17 @@ def main():
             c = run_frames(plp, loip, lgp, frames_of[T], seed)
             _ = float(np.asarray(c))
             times[T].append(time.perf_counter() - t0)
+        for T in (CAL_LO, CAL_HI):
+            t0 = time.perf_counter()
+            _ = float(np.asarray(run_calib(xcal, cal_steps[T])))
+            cal_times[T].append(time.perf_counter() - t0)
 
     if args.profile:
         jax.profiler.stop_trace()
+    cal_best = {T: min(v) for T, v in cal_times.items()}
+    cal_med = {T: float(np.median(v)) for T, v in cal_times.items()}
+    cal_dt = (cal_best[CAL_HI] - cal_best[CAL_LO]) / (CAL_HI - CAL_LO)
+    cal_dt_med = (cal_med[CAL_HI] - cal_med[CAL_LO]) / (CAL_HI - CAL_LO)
     best = {T: min(v) for T, v in times.items()}
     med = {T: float(np.median(v)) for T, v in times.items()}
     dt = (best[T_HI] - best[T_LO]) / (T_HI - T_LO)
@@ -106,6 +142,11 @@ def main():
                 "scan_s_min": {str(T): round(best[T], 4) for T in (T_LO, T_HI)},
                 "scan_s_median": {str(T): round(med[T], 4) for T in (T_LO, T_HI)},
                 "reps": REPS,
+                # fixed 8×1024³-bf16-matmul calibration program: compare
+                # across rounds (same binary every round); min≈median AND a
+                # cross-round-stable value ⇒ quiet tunnel, chip at nominal
+                "calib_ms_per_step_min": round(cal_dt * 1e3, 4),
+                "calib_ms_per_step_median": round(cal_dt_med * 1e3, 4),
             }
         )
     )
