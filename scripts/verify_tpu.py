@@ -13,7 +13,10 @@ subprocess):
 1. ``entry()`` — the fused bf16 stereo frontend bench.py times — on rendered
    synthetic stereo frames vs the same program in f32 on CPU: keypoint
    agreement within 1 px + top-k rank overlap, line/junction set agreement,
-   geometric match-set agreement.
+   geometric match-set agreement. Both matcher configs are gated: LightGlue
+   (matcher=0, the default) and SuperGlue through its 20-iteration Sinkhorn
+   OT (matcher=1 — the capability the reference ships but leaves disabled,
+   super_glue.cpp:369-435).
 2. ``pose_gn_pallas`` compiled (interpret=False, Mosaic lowering) vs the f64
    scan solver (windows._pose_only_fast): pose + inlier labels.
 3. ``ops.remap_tiled`` compiled vs the generic gather remap on the real EuRoC
@@ -161,6 +164,17 @@ def compute_oracle(out_path: str) -> None:
         for j, o in enumerate(out):
             blob[f"p{i}_o{j}"] = np.asarray(o)
 
+    # superglue (matcher=1, Sinkhorn-20) oracle: the same frontend with the
+    # reference's alternative matcher — a shipped capability
+    # (super_glue.cpp:369-435), so it must be chip-verified too
+    fn_sg, args_sg = entry(dtype=jnp.float32, matcher=1)
+    plp_sg, loip_sg, sgp, _ = args_sg
+    fn_sgj = jax.jit(fn_sg)
+    for i in range(N_PAIRS):
+        out = fn_sgj(plp_sg, loip_sg, sgp, jnp.asarray(frames[i]))
+        for j, o in enumerate(out):
+            blob[f"sg{i}_o{j}"] = np.asarray(o)
+
     # pose oracle: f64 scan solver on the fixed tracking problem
     from airslam_tpu.backend import gn, windows
     from tests.test_pose_gn_pallas import _tracking_problem
@@ -273,6 +287,37 @@ def run_tpu(oracle_path: str, out_json: str) -> bool:
     check("frontend_line_agree_3px", mean["line_agree_3px"], 0.80)
     check("frontend_junc_agree_2px", mean["junc_agree_2px"], 0.80)
     check("frontend_match_agree", mean["match_agree"], 0.90)
+
+    # ---- 1b. fused bf16 frontend with SuperGlue (matcher=1, Sinkhorn-20) -
+    # the reference's alternative matcher config (vo_euroc.yaml matcher: 1;
+    # super_glue.cpp:369-435 ships the OT this repo trains through) — gated
+    # on-chip like the LightGlue program above
+    fn_sg, args_sg = entry(matcher=1)  # bf16
+    plp_sg, loip_sg, sgp, _ = args_sg
+    fn_sgj = jax.jit(fn_sg)
+    t0 = time.time()
+    sg_agree, sg_counts = [], []
+    for i in range(N_PAIRS):
+        out = fn_sgj(plp_sg, loip_sg, sgp, jnp.asarray(frames[i]))
+        tpu_o = {f"o{j}": np.asarray(o) for j, o in enumerate(out)}
+        cpu_o = {f"o{j}": data[f"sg{i}_o{j}"] for j in range(len(out))}
+        mc, mt = _match_pairs(cpu_o), _match_pairs(tpu_o)
+        sg_counts.append((len(mc), len(mt)))
+        if len(mc) and len(mt):
+            d0 = np.linalg.norm(mc[:, None, 0:2] - mt[None, :, 0:2], axis=-1)
+            d1 = np.linalg.norm(mc[:, None, 2:4] - mt[None, :, 2:4], axis=-1)
+            sg_agree.append(float(
+                (np.maximum(d0, d1).min(axis=1) <= 1.5).mean()))
+        else:
+            sg_agree.append(1.0 if len(mc) == len(mt) else 0.0)
+        print(f"superglue pair {i}: matches cpu={len(mc)} tpu={len(mt)} "
+              f"agree={sg_agree[-1]:.3f}")
+    print(f"superglue frontend: {N_PAIRS} pairs in {time.time() - t0:.1f}s")
+    cnt_c = sum(c for c, _ in sg_counts)
+    cnt_t = sum(t for _, t in sg_counts)
+    check("superglue_match_agree", float(np.mean(sg_agree)), 0.90)
+    check("superglue_match_count_rel_delta",
+          abs(cnt_t - cnt_c) / max(cnt_c, 1), 0.10, op="<=")
 
     # ---- 2. pose_gn_pallas compiled (Mosaic) vs f64 scan oracle ----------
     from airslam_tpu.backend import gn
