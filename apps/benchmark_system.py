@@ -28,11 +28,20 @@ import numpy as np
 def traj_position(t, traj: str = "forward", total: float = None):
     """Analytic trajectory position at time t (seconds). ``forward``: smooth
     forward + weave; ``loop``: out-and-back along z (returns to the start —
-    exercises loop closure). Twin of :func:`apps.make_synth_dataset.traj_accel`."""
+    exercises loop closure); ``wide``: the same z out-and-back traversed
+    TWICE while the lateral position sweeps ±1.5 m (one sine period) — a
+    wider-COVERAGE map over the same world, used by
+    scripts/measure_reloc_envelope.py to test causally whether world
+    coverage (not retrieval) bounds the relocalization envelope (round-4
+    verdict item 8). Twin of :func:`apps.make_synth_dataset.traj_accel`."""
     x = 0.3 * np.sin(1.6 * t)
     y = 0.08 * np.sin(2.6 * t)
     if traj == "forward":
         z = 2.4 * t
+    elif traj == "wide":
+        w = 2.0 * np.pi / total
+        x = x + 1.5 * np.sin(w * t)
+        z = 2.0 * (1.0 - np.cos(2.0 * w * t))
     else:
         z = 2.0 * (1.0 - np.cos(2.0 * np.pi * t / total))
     return np.stack(np.broadcast_arrays(x, y, z), axis=-1)

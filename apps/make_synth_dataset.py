@@ -39,13 +39,18 @@ def traj_accel(t: np.ndarray, traj: str = "forward",
                total: float = None) -> np.ndarray:
     """Analytic world acceleration — exact second derivative of
     :func:`apps.benchmark_system.traj_position`."""
+    ax = -0.3 * 1.6 ** 2 * np.sin(1.6 * t)
     if traj == "forward":
         az = np.zeros_like(t)
+    elif traj == "wide":
+        w = 2.0 * np.pi / total
+        ax = ax - 1.5 * w * w * np.sin(w * t)
+        az = 2.0 * (2.0 * w) ** 2 * np.cos(2.0 * w * t)
     else:
         w = 2.0 * np.pi / total
         az = 2.0 * w * w * np.cos(w * t)
     return np.stack([
-        -0.3 * 1.6 ** 2 * np.sin(1.6 * t),
+        ax,
         -0.08 * 2.6 ** 2 * np.sin(2.6 * t),
         az,
     ], axis=-1)
@@ -59,9 +64,13 @@ def main():
     ap.add_argument("--stride", type=int, default=1,
                     help="trajectory subsampling: 2 = 10 Hz frames over twice "
                          "the span (VI init needs >= 3 s of keyframes)")
-    ap.add_argument("--traj", choices=["forward", "loop"], default="forward",
+    ap.add_argument("--traj", choices=["forward", "loop", "wide"],
+                    default="forward",
                     help="loop: out-and-back along z, ends at the start "
-                         "(exercises loop closure in map_refinement)")
+                         "(exercises loop closure in map_refinement); wide: "
+                         "the z loop twice with a ±1.5 m lateral sweep — "
+                         "wider world coverage over the SAME world (reloc "
+                         "envelope causal test)")
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--width", type=int, default=752)
     ap.add_argument("--seed", type=int, default=0)
