@@ -506,15 +506,24 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
 
     Hcc = Hcc_pt + Hcc_ln  # (F, 6, 6)
     bc = bc_pt + bc_ln
-    pose_cols = jnp.arange(POSE_DIM)
-    for_idx = jnp.arange(f) * stride
-    rows = (for_idx[:, None] + pose_cols[None, :]).reshape(-1)  # (F*6,)
 
     if imu_on:
-        H = jnp.zeros((D, D), dtype)
-        b = jnp.zeros((D,), dtype)
-        H = H.at[jnp.ix_(rows, rows)].add(_blockdiag(Hcc))
-        b = b.at[rows].add(bc.reshape(-1))
+        # VI system in BLOCK layout: (F, 15, F, 15) frame blocks + a 2-dof
+        # gravity border, assembled with static slices and one-hot
+        # contractions ONLY. The previous form scattered into the dense
+        # (227, 227) H (jnp.ix_ for the pose diagonal + one batched
+        # (K, 32, 32) factor scatter); per-HLO-op tracing on the chip put
+        # ~160 µs of every LM iteration in those scatters and their
+        # relayouts — over half the VI window (scripts/trace_local_ba.py
+        # --vi, round 5). g2o builds the same sparse block structure
+        # incrementally (g2o_optimization.cc:187-332); here the block grid
+        # IS the static shape.
+        Hff = jnp.zeros((f, FRAME_DIM, f, FRAME_DIM), dtype)
+        bf = jnp.zeros((f, FRAME_DIM), dtype)
+        eye_f = jnp.eye(f, dtype=dtype)
+        Hff = Hff.at[:, :POSE_DIM, :, :POSE_DIM].add(
+            jnp.einsum("fg,fab->fagb", eye_f, Hcc))
+        bf = bf.at[:, :POSE_DIM].add(bc)
 
     # -- IMU ---------------------------------------------------------------
     if problem.imu is not None:
@@ -555,21 +564,27 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
         Hk = jnp.einsum("ksc,ksd->kcd", JtW, iJ)  # (K, 32, 32)
         bk = -jnp.einsum("ksc,ks->kc", JtW, ir)  # (K, 32)
 
-        # scatter each factor's 32×32 block into H
-        def factor_cols(k):
-            base_i = imu.idx_i[k] * FRAME_DIM
-            base_j = imu.idx_j[k] * FRAME_DIM
-            ci = base_i + jnp.arange(FRAME_DIM)
-            cj = base_j + jnp.arange(FRAME_DIM)
-            cg = f * FRAME_DIM + jnp.arange(GRAV_DIM)
-            return jnp.concatenate([ci, cj, cg])
-
-        cols = jax.vmap(factor_cols)(jnp.arange(ir.shape[0]))  # (K, 32)
-
-        # one batched scatter-add over all K factor blocks (a lax.scan here
-        # serializes K tiny updates into K kernel chains)
-        H = H.at[cols[:, :, None], cols[:, None, :]].add(Hk)
-        b = b.at[cols].add(bk)
+        # accumulate each factor's 15/15/2 sub-blocks into the block grid via
+        # one-hot contractions (no scatter — see the block-layout NOTE above)
+        FD = FRAME_DIM
+        oh_i = jax.nn.one_hot(imu.idx_i, f, dtype=dtype)  # (K, F)
+        oh_j = jax.nn.one_hot(imu.idx_j, f, dtype=dtype)
+        Hii, Hij = Hk[:, :FD, :FD], Hk[:, :FD, FD:2 * FD]
+        Hjj = Hk[:, FD:2 * FD, FD:2 * FD]
+        # Hk is symmetric (JᵀWJ with symmetric W), so the (j,i) placement is
+        # the transpose of the (i,j) one
+        Tij = jnp.einsum("kf,kab,kg->fagb", oh_i, Hij, oh_j)
+        Hff = Hff + (
+            jnp.einsum("kf,kab,kg->fagb", oh_i, Hii, oh_i)
+            + Tij + Tij.transpose(2, 3, 0, 1)
+            + jnp.einsum("kf,kab,kg->fagb", oh_j, Hjj, oh_j)
+        )
+        Hfg = (jnp.einsum("kf,kac->fac", oh_i, Hk[:, :FD, 2 * FD:])
+               + jnp.einsum("kf,kac->fac", oh_j, Hk[:, FD:2 * FD, 2 * FD:]))
+        Hgg = jnp.sum(Hk[:, 2 * FD:, 2 * FD:], axis=0)
+        bf = bf + (jnp.einsum("kf,ka->fa", oh_i, bk[:, :FD])
+                   + jnp.einsum("kf,ka->fa", oh_j, bk[:, FD:2 * FD]))
+        bg_grav = jnp.sum(bk[:, 2 * FD:], axis=0)
 
     # -- landmark-block damping + closed-form inverses ---------------------
     Hpp_d = Hpp + lam * jnp.eye(3, dtype=dtype)[None]
@@ -598,12 +613,21 @@ def _assemble_and_solve(problem: BAProblem, intr, cfg: BAConfig, lam, robust: bo
           + jnp.sum(Yl * bl[:, None, None, :], axis=(0, 3)))  # (F, 6)
 
     if imu_on:
-        # damping + pinning on the full 15-dof-per-frame system
+        # fold the landmark Schur complement into the pose sub-blocks (static
+        # slice — the block layout makes _expand_pose_blocks' scatter moot)
+        Hff = Hff.at[:, :POSE_DIM, :, :POSE_DIM].add(
+            -S_big6.reshape(f, POSE_DIM, f, POSE_DIM))
+        bf = bf.at[:, :POSE_DIM].add(-bs)
+        # densify (pure layout) + gravity border, then damping + pinning
+        Hd = Hff.reshape(f * FRAME_DIM, f * FRAME_DIM)
+        Hfg2 = Hfg.reshape(f * FRAME_DIM, GRAV_DIM)
+        H = jnp.concatenate(
+            [jnp.concatenate([Hd, Hfg2], axis=1),
+             jnp.concatenate([Hfg2.T, Hgg], axis=1)], axis=0)
+        b = jnp.concatenate([bf.reshape(-1), bg_grav])
         H = H + jnp.diag(lam * jnp.ones((D,), dtype))
         diag = jnp.diagonal(H)
         H = H + jnp.diag(jnp.where(diag < 1e-10, 1.0, 0.0))
-        H = H - _expand_pose_blocks(S_big6, f, D, stride)
-        b = b.at[rows].add(-bs.reshape(-1))
         dx = solve_spd(H, b)
         dx_frames = dx[: f * FRAME_DIM].reshape(f, FRAME_DIM)
         dg = dx[f * stride:]
@@ -636,17 +660,6 @@ def _blockdiag(blocks):
     f, k, _ = blocks.shape
     eye = jnp.eye(f, dtype=blocks.dtype)
     return jnp.einsum("fg,fij->figj", eye, blocks).reshape(f * k, f * k)
-
-
-def _expand_pose_blocks(big, f, D, stride=FRAME_DIM):
-    """(F·6, F·6) pose matrix in [(f,a), (g,d)] layout -> (D, D) with pose
-    rows at ``stride`` (15 with IMU states in the system; 6 for the reduced
-    vision-only form, where it occupies the leading block verbatim)."""
-    out = jnp.zeros((D, D), big.dtype)
-    if stride == POSE_DIM:
-        return out.at[: f * POSE_DIM, : f * POSE_DIM].set(big)
-    rows = (jnp.arange(f)[:, None] * stride + jnp.arange(POSE_DIM)[None, :]).reshape(-1)
-    return out.at[jnp.ix_(rows, rows)].set(big)
 
 
 def apply_update(problem: BAProblem, dx_frames, dg, dp, dl) -> BAProblem:

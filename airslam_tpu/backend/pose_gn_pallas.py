@@ -162,43 +162,34 @@ def _huber_cost(chi2, delta2, active):
     return jnp.sum(jnp.where(active > 0.5, jnp.where(chi2 <= delta2, chi2, lin), 0.0))
 
 
-def _kernel(pts_ref, pobs_ref, pvec_ref, lns_ref, lobs_ref, lvec_ref,
-            scal_ref, pose_ref, pin_ref, lin_ref, *, rounds, iters):
-    f32 = jnp.float32
-    s = lambda k: scal_ref[0, k]
-    R0 = tuple(s(i) for i in range(9))
-    t0 = (s(9), s(10), s(11))
-    Rcb = tuple(s(12 + i) for i in range(9))
-    tcb = (s(21), s(22), s(23))
-    fx, fy, cx, cy, bf = s(24), s(25), s(26), s(27), s(28)
-    pose_free = s(29)
-    lam0, nu0 = s(30), s(31)
-    kv = (-fy * cx, -fx * cy, fx * fy)
-    bb = bf / fx
+class _VisionCtx:
+    """The vision (point + line) row machinery shared by the F=1 kernel and
+    the VI tracking kernel (pose_gn_vi_pallas): residuals, chi², Huber cost
+    and the 6 analytic pose-Jacobian columns — numerics byte-identical to
+    the original inline form (pure code motion)."""
 
-    # point rows (1, Np)
-    P = (pts_ref[0:1, :], pts_ref[1:2, :], pts_ref[2:3, :])
-    OB = (pobs_ref[0:1, :], pobs_ref[1:2, :], pobs_ref[2:3, :])
-    p_base = pvec_ref[0:1, :]
-    p_st = pvec_ref[1:2, :]
-    pthr = pvec_ref[2:3, :]
-    # line rows (1, Nl)
-    LW = (lns_ref[0:1, :], lns_ref[1:2, :], lns_ref[2:3, :])
-    LD = (lns_ref[3:4, :], lns_ref[4:5, :], lns_ref[5:6, :])
-    LO = tuple(lobs_ref[i:i + 1, :] for i in range(8))
-    l_base = lvec_ref[0:1, :]
-    l_st = lvec_ref[1:2, :]
-    lthr = lvec_ref[2:3, :]
-    lsig = lvec_ref[3:4, :]
+    def __init__(self, P, OB, p_st, pthr, LW, LD, LO, l_st, lthr, lsig,
+                 Rcb, tcb, fx, fy, cx, cy, bf, pose_free):
+        self.P, self.OB, self.p_st, self.pthr = P, OB, p_st, pthr
+        self.LW, self.LD, self.LO = LW, LD, LO
+        self.l_st, self.lthr, self.lsig = l_st, lthr, lsig
+        self.Rcb, self.tcb = Rcb, tcb
+        self.fx, self.fy, self.cx, self.cy, self.bf = fx, fy, cx, cy, bf
+        self.pose_free = pose_free
+        self.kv = (-fy * cx, -fx * cy, fx * fy)
+        self.bb = bf / fx
 
-    def camera_of(R, t):
+    def camera_of(self, R, t):
+        Rcb, tcb = self.Rcb, self.tcb
         Rcw = _mmulT(Rcb, R)          # Rcb @ R^T
         mt = _mvec(Rcw, t)
         tcw = tuple(tcb[i] - mt[i] for i in range(3))
         return Rcw, tcw
 
-    def point_vals(R, t):
-        Rcw, tcw = camera_of(R, t)
+    def point_vals(self, R, t):
+        P, OB = self.P, self.OB
+        fx, fy, cx, cy, bf = self.fx, self.fy, self.cx, self.cy, self.bf
+        Rcw, tcw = self.camera_of(R, t)
         mv = _mvec(Rcw, P)
         pc = tuple(mv[i] + tcw[i] for i in range(3))
         guard = jnp.abs(pc[2]) < 1e-9
@@ -210,8 +201,10 @@ def _kernel(pts_ref, pobs_ref, pvec_ref, lns_ref, lobs_ref, lvec_ref,
         r = (OB[0] - u, OB[1] - v, OB[2] - ur)
         return r, pc, guard, zi
 
-    def line_vals(R, t):
-        Rcw, tcw = camera_of(R, t)
+    def line_vals(self, R, t):
+        LW, LD, LO, kv, bb = self.LW, self.LD, self.LO, self.kv, self.bb
+        fx, fy = self.fx, self.fy
+        Rcw, tcw = self.camera_of(R, t)
         wc = _mvec(Rcw, LW)
         dc = _mvec(Rcw, LD)
         tXd = _cross(tcw, dc)
@@ -232,26 +225,34 @@ def _kernel(pts_ref, pobs_ref, pvec_ref, lns_ref, lobs_ref, lvec_ref,
         lv = ((l0, l1, l2, n, ns), (m0, m1, m2, nr, nrs), wc, dc)
         return (e0, e1, e2, e3), lv
 
-    def chi2_of(R, t, p_m, l_m):
-        (r0, r1, r2), _, _, _ = point_vals(R, t)
-        pchi2 = r0 * r0 * p_m + r1 * r1 * p_m + r2 * r2 * (p_m * p_st)
-        (e0, e1, e2, e3), _ = line_vals(R, t)
-        mst = l_m * l_st
-        lchi2 = (e0 * e0 * l_m + e1 * e1 * l_m + e2 * e2 * mst + e3 * e3 * mst) * lsig
+    def chi2_of(self, R, t, p_m, l_m):
+        (r0, r1, r2), _, _, _ = self.point_vals(R, t)
+        pchi2 = r0 * r0 * p_m + r1 * r1 * p_m + r2 * r2 * (p_m * self.p_st)
+        (e0, e1, e2, e3), _ = self.line_vals(R, t)
+        mst = l_m * self.l_st
+        lchi2 = (e0 * e0 * l_m + e1 * e1 * l_m
+                 + e2 * e2 * mst + e3 * e3 * mst) * self.lsig
         return pchi2, lchi2
 
-    def cost_of(R, t, p_m, l_m):
-        pchi2, lchi2 = chi2_of(R, t, p_m, l_m)
-        return _huber_cost(pchi2, pthr, p_m) + _huber_cost(lchi2, lthr, l_m)
+    def cost_of(self, R, t, p_m, l_m):
+        pchi2, lchi2 = self.chi2_of(R, t, p_m, l_m)
+        return (_huber_cost(pchi2, self.pthr, p_m)
+                + _huber_cost(lchi2, self.lthr, l_m))
 
-    def lm_iter(carry, p_m, l_m):
-        R = carry[0:9]
-        t = carry[9:12]
-        lam, nu, cost = carry[12], carry[13], carry[14]
-        _, tcw = camera_of(R, t)
+    def rows_jac(self, R, t, p_m, l_m):
+        """Weighted residual rows + the 6 analytic pose-Jacobian columns at
+        (R, t): returns (pw, rr, pJ, lw, er, lJ)."""
+        P, OB = self.P, self.OB
+        p_st, pthr = self.p_st, self.pthr
+        LW, LD, LO = self.LW, self.LD, self.LO
+        l_st, lthr, lsig = self.l_st, self.lthr, self.lsig
+        Rcb, kv, bb = self.Rcb, self.kv, self.bb
+        fx, fy, bf = self.fx, self.fy, self.bf
+        pose_free = self.pose_free
+        _, tcw = self.camera_of(R, t)
 
         # ---- residuals + analytic Jacobian columns at (R, t) ----
-        (r0, r1, r2), pc, guard, zi = point_vals(R, t)
+        (r0, r1, r2), pc, guard, zi = self.point_vals(R, t)
         mst = p_m * p_st
         pchi2 = r0 * r0 * p_m + r1 * r1 * p_m + r2 * r2 * mst
         pw = _huber_w(pchi2, pthr) * p_m
@@ -259,7 +260,7 @@ def _kernel(pts_ref, pobs_ref, pvec_ref, lns_ref, lobs_ref, lvec_ref,
         pb = _mTvec(R, tuple(P[i] - t[i] for i in range(3)))  # body-frame point
         rr = (r0 * p_m, r1 * p_m, r2 * mst)
 
-        (e0, e1, e2, e3), lv = line_vals(R, t)
+        (e0, e1, e2, e3), lv = self.line_vals(R, t)
         (l0, l1, l2, n, ns), (m0, m1, m2, nr, nrs), wc, dc = lv
         lmst = l_m * l_st
         lchi2 = (e0 * e0 * l_m + e1 * e1 * l_m + e2 * e2 * lmst + e3 * e3 * lmst) * lsig
@@ -308,19 +309,64 @@ def _kernel(pts_ref, pobs_ref, pvec_ref, lns_ref, lobs_ref, lvec_ref,
             de3 = (LO[6] * dm0 + LO[7] * dm1 + dm2) / nrs - e3 * dnr / nrs
             lJ.append((de0 * l_m * pose_free, de1 * l_m * pose_free,
                        de2 * lmst * pose_free, de3 * lmst * pose_free))
+        return pw, rr, pJ, lw, er, lJ
+
+
+def _vis_h6_b6(ctx, pw, rr, pJ, lw, er, lJ):
+    """Undamped vision-only 6×6 normal equations from rows_jac output."""
+    H = [[None] * 6 for _ in range(6)]
+    b = [None] * 6
+    for a in range(6):
+        for c in range(a, 6):
+            acc = sum(jnp.sum(pw * pJ[a][r] * pJ[c][r]) for r in range(3))
+            acc = acc + sum(jnp.sum(lw * lJ[a][r] * lJ[c][r]) for r in range(4))
+            H[a][c] = acc
+            H[c][a] = acc
+        bb_acc = sum(jnp.sum(pw * pJ[a][r] * rr[r]) for r in range(3))
+        bb_acc = bb_acc + sum(jnp.sum(lw * lJ[a][r] * er[r]) for r in range(4))
+        b[a] = -bb_acc
+    return H, b
+
+
+def _kernel(pts_ref, pobs_ref, pvec_ref, lns_ref, lobs_ref, lvec_ref,
+            scal_ref, pose_ref, pin_ref, lin_ref, *, rounds, iters):
+    f32 = jnp.float32
+    s = lambda k: scal_ref[0, k]
+    R0 = tuple(s(i) for i in range(9))
+    t0 = (s(9), s(10), s(11))
+    Rcb = tuple(s(12 + i) for i in range(9))
+    tcb = (s(21), s(22), s(23))
+    fx, fy, cx, cy, bf = s(24), s(25), s(26), s(27), s(28)
+    pose_free = s(29)
+    lam0, nu0 = s(30), s(31)
+
+    # point rows (1, Np)
+    P = (pts_ref[0:1, :], pts_ref[1:2, :], pts_ref[2:3, :])
+    OB = (pobs_ref[0:1, :], pobs_ref[1:2, :], pobs_ref[2:3, :])
+    p_base = pvec_ref[0:1, :]
+    p_st = pvec_ref[1:2, :]
+    pthr = pvec_ref[2:3, :]
+    # line rows (1, Nl)
+    LW = (lns_ref[0:1, :], lns_ref[1:2, :], lns_ref[2:3, :])
+    LD = (lns_ref[3:4, :], lns_ref[4:5, :], lns_ref[5:6, :])
+    LO = tuple(lobs_ref[i:i + 1, :] for i in range(8))
+    l_base = lvec_ref[0:1, :]
+    l_st = lvec_ref[1:2, :]
+    lthr = lvec_ref[2:3, :]
+    lsig = lvec_ref[3:4, :]
+
+    ctx = _VisionCtx(P, OB, p_st, pthr, LW, LD, LO, l_st, lthr, lsig,
+                     Rcb, tcb, fx, fy, cx, cy, bf, pose_free)
+
+    def lm_iter(carry, p_m, l_m):
+        R = carry[0:9]
+        t = carry[9:12]
+        lam, nu, cost = carry[12], carry[13], carry[14]
+
+        pw, rr, pJ, lw, er, lJ = ctx.rows_jac(R, t, p_m, l_m)
 
         # ---- assemble the damped 6×6 ----
-        H = [[None] * 6 for _ in range(6)]
-        b = [None] * 6
-        for a in range(6):
-            for c in range(a, 6):
-                acc = sum(jnp.sum(pw * pJ[a][r] * pJ[c][r]) for r in range(3))
-                acc = acc + sum(jnp.sum(lw * lJ[a][r] * lJ[c][r]) for r in range(4))
-                H[a][c] = acc
-                H[c][a] = acc
-            bb_acc = sum(jnp.sum(pw * pJ[a][r] * rr[r]) for r in range(3))
-            bb_acc = bb_acc + sum(jnp.sum(lw * lJ[a][r] * er[r]) for r in range(4))
-            b[a] = -bb_acc
+        H, b = _vis_h6_b6(ctx, pw, rr, pJ, lw, er, lJ)
         for a in range(6):
             H[a][a] = H[a][a] + lam
         for a in range(6):
@@ -332,7 +378,7 @@ def _kernel(pts_ref, pobs_ref, pvec_ref, lns_ref, lobs_ref, lvec_ref,
         R2 = _mmul(R, Rexp)
         Rdt = _mvec(R, (dx[3], dx[4], dx[5]))
         t2 = tuple(t[i] + Rdt[i] for i in range(3))
-        new_cost = cost_of(R2, t2, p_m, l_m)
+        new_cost = ctx.cost_of(R2, t2, p_m, l_m)
         acc = new_cost < cost
         R3 = tuple(jnp.where(acc, R2[i], R[i]) for i in range(9))
         t3 = tuple(jnp.where(acc, t2[i], t[i]) for i in range(3))
@@ -345,14 +391,14 @@ def _kernel(pts_ref, pobs_ref, pvec_ref, lns_ref, lobs_ref, lvec_ref,
     p_in, l_in = p_base, l_base
     R, t = R0, t0
     for _ in range(rounds):
-        cost0 = cost_of(R0, t0, p_m, l_m)
+        cost0 = ctx.cost_of(R0, t0, p_m, l_m)
         carry0 = R0 + t0 + (lam0, nu0, cost0)
         carry = jax.lax.fori_loop(
             0, iters, lambda _, c: lm_iter(c, p_m, l_m), carry0)
         R, t = carry[0:9], carry[9:12]
         # relabel over the FULL base observation set
-        pchi2, lchi2 = chi2_of(R, t, p_base, l_base)
-        (_, _, _), pc, _, _ = point_vals(R, t)
+        pchi2, lchi2 = ctx.chi2_of(R, t, p_base, l_base)
+        (_, _, _), pc, _, _ = ctx.point_vals(R, t)
         p_in = ((pchi2 <= pthr) & (pc[2] > 0) & (p_base > 0.5)).astype(f32)
         l_in = ((lchi2 <= lthr) & (l_base > 0.5)).astype(f32)
         p_m, l_m = p_in, l_in
