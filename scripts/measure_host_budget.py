@@ -152,7 +152,8 @@ def main():
     }
     if not args.no_merge and os.path.exists(args.out):
         art = json.load(open(args.out))
-        device_ms = 1000.0 / art["value"] if "value" in art else None
+        hz = art.get("value") or art.get("parsed", {}).get("value")
+        device_ms = 1000.0 / hz if hz else None
         if device_ms is not None:
             result["combined_hz"] = round(
                 1000.0 / max(amort, device_ms), 2)
