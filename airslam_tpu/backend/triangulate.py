@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -47,6 +49,7 @@ def triangulate_points_batch(Rcw, tcw, uv, mask, intr, min_obs: int = 2):
     )(Rcw, tcw, uv, mask)
 
 
+@partial(jax.jit, static_argnames=("rounds", "inlier_dist", "huber_delta"))
 def fit_line_huber(points, mask, rounds: int = 4, inlier_dist: float = 0.1,
                    huber_delta: float = 0.05):
     """Robust line fit: IRLS around (centroid, principal direction) with
@@ -84,6 +87,7 @@ def fit_line_huber(points, mask, rounds: int = 4, inlier_dist: float = 0.1,
     return jnp.concatenate([mean, d]), inliers, ok
 
 
+@jax.jit
 def extreme_projections(line_cart, points, mask):
     """Endpoints from extreme projections of inlier points onto the line
     (map.cc endpoint selection). Returns (6,) endpoints."""

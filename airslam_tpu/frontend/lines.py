@@ -17,6 +17,8 @@ Replaces ``src/line_processor.cc``. TPU-native reformulations:
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -25,6 +27,7 @@ from airslam_tpu.core import lie
 POINT_LINE_DIST = 3.0  # px
 
 
+@partial(jax.jit, static_argnames=("max_dist",))
 def point_line_relation(lines, line_mask, kpts, kp_mask, max_dist: float = POINT_LINE_DIST):
     """Dense point-on-line relation.
 
@@ -67,6 +70,7 @@ def point_line_relation(lines, line_mask, kpts, kp_mask, max_dist: float = POINT
     return rel, dist
 
 
+@partial(jax.jit, static_argnames=("min_votes", "min_score"))
 def match_lines_by_points(rel0, rel1, match_idx1, match_mask, min_votes: int = 2,
                           min_score: float = 0.8):
     """Line matching from shared point matches (line_processor.cc:122-180).
@@ -105,6 +109,7 @@ def match_lines_by_points(rel0, rel1, match_idx1, match_mask, min_votes: int = 2
     return jnp.where(ok, row_best, -jnp.ones_like(row_best))
 
 
+@jax.jit
 def triangulate_stereo_lines(lines_left, lines_right, valid, Rwc, twc, intr,
                              min_x_diff, max_x_diff):
     """Batched stereo line triangulation (line_processor.cc:196-245).
@@ -218,3 +223,49 @@ def endpoint_trim(line3d_w, obs_lines_2d, Rcw, tcw, intr):
     e1 = closest_on_line(obs_lines_2d[..., 0:2])
     e2 = closest_on_line(obs_lines_2d[..., 2:4])
     return jnp.concatenate([e1, e2], axis=-1)
+
+
+def endpoint_trim_np(line3d_w, obs_lines_2d, Rcw, tcw, fx, fy, cx, cy):
+    """Pure-numpy twin of :func:`endpoint_trim`, vectorized over N
+    observations — the HOST path of keyframe endpoint maintenance.
+
+    The eager-jnp version dispatches ~50 tiny ops per observation; on the
+    map-maintenance host path (Map.update_mapline_endpoints, called for every
+    window line after each local BA) that dominated keyframe insertion.
+    Same math, same answers (tests/test_lines.py gates 1e-6 agreement).
+
+    line3d_w (6,) Plücker (w, d); obs_lines_2d (N, 4); Rcw (N, 3, 3);
+    tcw (N, 3). Returns (N, 6) world endpoints.
+    """
+    import numpy as np
+
+    line = np.asarray(line3d_w, np.float64)
+    w, d = line[0:3], line[3:6]
+    nd = max(float(np.linalg.norm(d)), 1e-12)
+    w, d = w / nd, d / nd
+    p0 = np.cross(d, w)
+
+    obs = np.asarray(obs_lines_2d, np.float64)
+    Rwc = np.swapaxes(np.asarray(Rcw, np.float64), -1, -2)
+    origin = -np.einsum("nij,nj->ni", Rwc, np.asarray(tcw, np.float64))
+
+    def closest(uv):
+        ray_c = np.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy,
+                          np.ones(len(uv))], axis=-1)
+        ray_w = np.einsum("nij,nj->ni", Rwc, ray_c)
+        ray_w /= np.clip(np.linalg.norm(ray_w, axis=-1, keepdims=True),
+                         1e-12, None)
+        w0 = origin - p0
+        a = float(d @ d)
+        bq = ray_w @ d
+        cq = np.einsum("ni,ni->n", ray_w, ray_w)
+        dq = w0 @ d
+        eq = np.einsum("ni,ni->n", ray_w, w0)
+        denom = a * cq - bq * bq
+        s = np.where(np.abs(denom) < 1e-12, 0.0,
+                     (dq * cq - bq * eq) / np.where(np.abs(denom) < 1e-12,
+                                                    1.0, denom))
+        return p0 + s[:, None] * d
+
+    return np.concatenate([closest(obs[:, 0:2]), closest(obs[:, 2:4])],
+                          axis=-1)

@@ -217,30 +217,34 @@ class Map:
         """Refresh endpoints after BA moved the infinite line
         (map.cc:192-340): project each observation's 2D endpoints onto the
         3D line and keep the extreme pair."""
-        from airslam_tpu.frontend.lines import endpoint_trim
+        from airslam_tpu.frontend.lines import endpoint_trim_np
 
         if mpl.type != LandmarkType.GOOD:
             return
-        all_pts = []
+        obs2d, Rcws, tcws = [], [], []
         for fid, lidx in mpl.observers.items():
             kf = self.keyframes.get(fid)
             if kf is None:
                 continue
-            Rwc = kf.Twc[:3, :3]
-            Rcw = Rwc.T
-            tcw = -Rcw @ kf.Twc[:3, 3]
-            ends = np.asarray(
-                endpoint_trim(
-                    jnp.asarray(mpl.line3d), jnp.asarray(kf.lines[lidx]),
-                    jnp.asarray(Rcw), jnp.asarray(tcw), self._intr,
-                )
-            )
-            all_pts += [ends[0:3], ends[3:6]]
-        if not all_pts:
+            Rcw = kf.Twc[:3, :3].T
+            obs2d.append(kf.lines[lidx])
+            Rcws.append(Rcw)
+            tcws.append(-Rcw @ kf.Twc[:3, 3])
+        if not obs2d:
             return
-        pts = np.asarray(all_pts)
-        cart = np.asarray(lie.line_to_cartesian(jnp.asarray(mpl.line3d)))
-        p0, d = cart[0:3], cart[3:6]
+        # numpy host twin of frontend.lines.endpoint_trim: the eager-jnp
+        # per-observation version dominated keyframe insertion (~50 tiny
+        # dispatches per observer)
+        ends = endpoint_trim_np(
+            mpl.line3d, np.asarray(obs2d), np.asarray(Rcws), np.asarray(tcws),
+            float(self.camera.fx), float(self.camera.fy),
+            float(self.camera.cx), float(self.camera.cy),
+        )
+        pts = np.concatenate([ends[:, 0:3], ends[:, 3:6]], axis=0)
+        line = np.asarray(mpl.line3d, np.float64)
+        w3, d3 = line[0:3], line[3:6]
+        nd = max(float(np.linalg.norm(d3)), 1e-12)
+        p0, d = np.cross(d3 / nd, w3 / nd), d3 / nd
         t = (pts - p0) @ d
         mpl.endpoints = np.concatenate([p0 + t.min() * d, p0 + t.max() * d])
         mpl.endpoints_valid = True
@@ -471,6 +475,12 @@ class Map:
         Tbc = np.linalg.inv(Tcb)
         Rwb = np.asarray(out.frames.Rwb)
         twb = np.asarray(out.frames.twb)
+        # pull the whole state once — per-frame out.frames.vel[k] indexing
+        # costs a device dispatch + transfer each
+        if self.imu_initialized:
+            vel = np.asarray(out.frames.vel)
+            bg = np.asarray(out.frames.bg)
+            ba = np.asarray(out.frames.ba)
         for k, fr in enumerate(frames):
             if pose_fixed[k]:
                 continue
@@ -479,9 +489,9 @@ class Map:
             Twb[:3, 3] = twb[k]
             fr.Twc = Twb @ Tbc
             if self.imu_initialized:
-                fr.velocity = np.asarray(out.frames.vel[k])
-                fr.bg = np.asarray(out.frames.bg[k])
-                fr.ba = np.asarray(out.frames.ba[k])
+                fr.velocity = vel[k]
+                fr.bg = bg[k]
+                fr.ba = ba[k]
 
         pts = np.asarray(out.points)
         p_in = np.asarray(p_in)

@@ -137,6 +137,32 @@ def test_endpoint_trim():
     assert np.allclose(np.asarray(ends[3:6]), p2, atol=1e-6)
 
 
+def test_endpoint_trim_np_matches_jax():
+    """The numpy host twin (Map.update_mapline_endpoints path) agrees with
+    the jax endpoint_trim on random rigs to 1e-6."""
+    intr = default_intrinsics()
+    rng = np.random.RandomState(7)
+    p1 = np.array([0.4, -0.6, 6.0])
+    p2 = np.array([-0.5, 0.8, 7.0])
+    line_w = lie.line_from_endpoints(jnp.asarray(p1), jnp.asarray(p2))
+
+    N = 5
+    obs = rng.rand(N, 4) * 400 + 100
+    Rcw = np.stack([np.linalg.qr(rng.randn(3, 3))[0] for _ in range(N)])
+    Rcw *= np.sign(np.linalg.det(Rcw))[:, None, None]
+    tcw = rng.randn(N, 3) * 0.3
+
+    ref = np.stack([
+        np.asarray(lp.endpoint_trim(line_w, jnp.asarray(obs[i]),
+                                    jnp.asarray(Rcw[i]), jnp.asarray(tcw[i]),
+                                    intr))
+        for i in range(N)
+    ])
+    got = lp.endpoint_trim_np(np.asarray(line_w), obs, Rcw, tcw,
+                              450.0, 450.0, 376.0, 240.0)
+    assert np.allclose(got, ref, atol=1e-6), np.abs(got - ref).max()
+
+
 def test_point_2d_to_3d():
     a3d1 = jnp.asarray([0.0, 0.0, 4.0])
     a3d2 = jnp.asarray([2.0, 0.0, 6.0])
