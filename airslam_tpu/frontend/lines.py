@@ -110,6 +110,19 @@ def match_lines_by_points(rel0, rel1, match_idx1, match_mask, min_votes: int = 2
 
 
 @jax.jit
+def frame_relations(lines_l, lmask_l, kpts_l, kmask_l,
+                    lines_r, lmask_r, kpts_r, kmask_r, idx1, msk):
+    """Per-frame line bookkeeping fused into ONE dispatch (host-budget cut):
+    left point-on-line relation + right relation + stereo line match via
+    shared point matches. Three separate jitted calls cost 3× dispatch glue
+    + device_put per frame on the builder's host path."""
+    rel_l, _ = point_line_relation(lines_l, lmask_l, kpts_l, kmask_l)
+    rel_r, _ = point_line_relation(lines_r, lmask_r, kpts_r, kmask_r)
+    lm = match_lines_by_points(rel_l, rel_r, idx1, msk)
+    return rel_l, lm
+
+
+@jax.jit
 def triangulate_stereo_lines(lines_left, lines_right, valid, Rwc, twc, intr,
                              min_x_diff, max_x_diff):
     """Batched stereo line triangulation (line_processor.cc:196-245).
@@ -244,7 +257,21 @@ def endpoint_trim_np(line3d_w, obs_lines_2d, Rcw, tcw, fx, fy, cx, cy):
     nd = max(float(np.linalg.norm(d)), 1e-12)
     w, d = w / nd, d / nd
     p0 = np.cross(d, w)
+    n = np.asarray(obs_lines_2d).shape[0]
+    return endpoint_trim_rows_np(
+        np.broadcast_to(p0, (n, 3)), np.broadcast_to(d, (n, 3)),
+        obs_lines_2d, Rcw, tcw, fx, fy, cx, cy)
 
+
+def endpoint_trim_rows_np(p0, dvec, obs_lines_2d, Rcw, tcw, fx, fy, cx, cy):
+    """Row-batched numpy endpoint trim: each row carries ITS OWN line
+    (p0 (N, 3), dvec (N, 3) unit) and observation/camera — lets
+    Map.update_maplines_endpoints_batch trim every (line, observer) pair of
+    a BA window in one pass. Same math as :func:`endpoint_trim`."""
+    import numpy as np
+
+    p0 = np.asarray(p0, np.float64)
+    dvec = np.asarray(dvec, np.float64)
     obs = np.asarray(obs_lines_2d, np.float64)
     Rwc = np.swapaxes(np.asarray(Rcw, np.float64), -1, -2)
     origin = -np.einsum("nij,nj->ni", Rwc, np.asarray(tcw, np.float64))
@@ -256,16 +283,16 @@ def endpoint_trim_np(line3d_w, obs_lines_2d, Rcw, tcw, fx, fy, cx, cy):
         ray_w /= np.clip(np.linalg.norm(ray_w, axis=-1, keepdims=True),
                          1e-12, None)
         w0 = origin - p0
-        a = float(d @ d)
-        bq = ray_w @ d
+        a = np.einsum("ni,ni->n", dvec, dvec)
+        bq = np.einsum("ni,ni->n", ray_w, dvec)
         cq = np.einsum("ni,ni->n", ray_w, ray_w)
-        dq = w0 @ d
+        dq = np.einsum("ni,ni->n", w0, dvec)
         eq = np.einsum("ni,ni->n", ray_w, w0)
         denom = a * cq - bq * bq
         s = np.where(np.abs(denom) < 1e-12, 0.0,
                      (dq * cq - bq * eq) / np.where(np.abs(denom) < 1e-12,
                                                     1.0, denom))
-        return p0 + s[:, None] * d
+        return p0 + s[:, None] * dvec
 
     return np.concatenate([closest(obs[:, 0:2]), closest(obs[:, 2:4])],
                           axis=-1)

@@ -253,43 +253,37 @@ class MapBuilder:
         )
 
     def _build_frame(self, timestamp, feats_left, feats_right, stereo_pairs):
-        from airslam_tpu.frontend.lines import point_line_relation
+        from airslam_tpu.frontend.lines import frame_relations
 
         frame = Frame(self.frame_counter, timestamp, feats_left, self.camera)
         self.frame_counter += 1
-        frame.good_stereo_points = frame.add_right_features(
-            _as_np_features(feats_right), np.asarray(stereo_pairs).reshape(-1, 2), self.camera
-        )
-
-        rel, _ = point_line_relation(
-            jnp.asarray(frame.lines), jnp.asarray(frame.line_mask),
-            jnp.asarray(frame.keypoints), jnp.asarray(frame.kp_mask),
-        )
-        frame.points_on_lines = np.asarray(rel)
-
-        # stereo line matching via shared stereo point matches
-        fr = _as_np_features(feats_right)
-        rel_r, _ = point_line_relation(
-            jnp.asarray(fr.lines), jnp.asarray(fr.line_mask),
-            jnp.asarray(fr.keypoints), jnp.asarray(fr.kp_mask),
-        )
         pairs = np.asarray(stereo_pairs).reshape(-1, 2)
+        frame.good_stereo_points = frame.add_right_features(
+            _as_np_features(feats_right), pairs, self.camera
+        )
+
+        # left point-on-line relation + right relation + stereo line match
+        # in ONE fused dispatch (3 separate jitted calls cost 3x dispatch
+        # glue + device_put on the host path)
+        fr = _as_np_features(feats_right)
         k = frame.keypoints.shape[0]
         idx1 = np.full(k, -1, np.int32)
         msk = np.zeros(k, bool)
-        for il, ir in pairs:
-            idx1[il] = ir
-            msk[il] = True
-        from airslam_tpu.frontend.lines import match_lines_by_points
-
-        lm = np.asarray(
-            match_lines_by_points(
-                jnp.asarray(frame.points_on_lines), rel_r, jnp.asarray(idx1), jnp.asarray(msk)
-            )
+        if len(pairs):
+            idx1[pairs[:, 0]] = pairs[:, 1].astype(np.int32)
+            msk[pairs[:, 0]] = True
+        dt = np.float64 if jax.config.jax_enable_x64 else np.float32
+        rel, lm = frame_relations(
+            frame.lines.astype(dt), frame.line_mask,
+            frame.keypoints.astype(dt), frame.kp_mask,
+            fr.lines.astype(dt), fr.line_mask,
+            fr.keypoints.astype(dt), fr.kp_mask, idx1, msk,
         )
-        for i in np.nonzero(lm >= 0)[0]:
-            frame.lines_right[i] = fr.lines[lm[i]]
-            frame.lines_right_valid[i] = True
+        frame.points_on_lines = np.asarray(rel)
+        lm = np.asarray(lm)
+        sel = np.nonzero(lm >= 0)[0]
+        frame.lines_right[sel] = fr.lines[lm[sel]]
+        frame.lines_right_valid[sel] = True
         return frame
 
     def _initialize(self, frame: Frame):
@@ -332,13 +326,13 @@ class MapBuilder:
         k = ref.keypoints.shape[0]
         idx1 = np.full(k, -1, np.int32)
         msk = np.zeros(k, bool)
-        for i0, i1 in matches:
-            idx1[i0] = i1
-            msk[i0] = True
+        if len(matches):
+            m = np.asarray(matches)
+            idx1[m[:, 0]] = m[:, 1].astype(np.int32)
+            msk[m[:, 0]] = True
         line_matches = np.asarray(
             match_lines_by_points(
-                jnp.asarray(ref.points_on_lines), jnp.asarray(cur.points_on_lines),
-                jnp.asarray(idx1), jnp.asarray(msk),
+                ref.points_on_lines, cur.points_on_lines, idx1, msk,
             )
         )
 
@@ -468,8 +462,11 @@ class MapBuilder:
         cur_col = f - 1
         p = len(matched)
         P = max(64, 1 << (p - 1).bit_length())
-        points = np.zeros((P, 3))
-        obs = np.zeros((P, f, 3))
+        # match the jax compute dtype: f64 numpy leaves pay a downcast copy
+        # inside every device_put when x64 is off (the CLI/deployment mode)
+        dt = np.float64 if jax.config.jax_enable_x64 else np.float32
+        points = np.zeros((P, 3), dt)
+        obs = np.zeros((P, f, 3), dt)
         obs[..., 2] = -1.0
         mask = np.zeros((P, f), bool)
         for j, (i, mpt) in enumerate(matched):
@@ -496,34 +493,49 @@ class MapBuilder:
             vel=jnp.asarray(np.stack(vel_l)), bg=jnp.asarray(np.stack(bg_l)),
             ba=jnp.asarray(np.stack(ba_l)),
         )
-        pose_fixed = np.zeros(f, bool)
-        vel_fixed = np.ones(f, bool)
-        imu_factors = None
-        if imu_ref is not None:
-            pose_fixed[0] = True
-            vel_fixed[1] = False
-            imu_factors = self._tracking_imu_factor()
-        problem = _gn.BAProblem(
-            frames=fstates,
-            pose_fixed=jnp.asarray(pose_fixed),
-            vel_fixed=jnp.asarray(vel_fixed),
-            points=jnp.asarray(points),
-            point_fixed=jnp.ones(P, bool),
-            point_obs=jnp.asarray(obs),
-            point_obs_mask=jnp.asarray(mask),
-            lines=jnp.asarray(np.tile([1.0, 0, 0, 0, 1.0, 0], (1, 1))),
-            line_fixed=jnp.ones(1, bool),
-            line_obs=jnp.zeros((1, f, 8)),
-            line_obs_stereo=jnp.zeros((1, f), bool),
-            line_obs_mask=jnp.zeros((1, f), bool),
-            line_obs_sigma=jnp.full((1, f), 0.5),
-            Rwg=jnp.asarray(self.map.Rwg),
-            gravity_free=jnp.asarray(0.0),
-            imu=imu_factors,
-            Rcb=jnp.asarray(Tcb[:3, :3]),
-            tcb=jnp.asarray(Tcb[:3, 3]),
-            g_value=self.map.g_value,
-        )
+        imu_factors = self._tracking_imu_factor() if imu_ref is not None else None
+        # every leaf that does not change between frames is device_put ONCE
+        # per (P, f) and reused via _replace — ~15 of the problem's ~20
+        # leaves are constants, and per-leaf device_put glue dominated the
+        # host cost of this per-frame assembly
+        tmpl = getattr(self, "_pose_problem_tmpl", {}).get((P, f))
+        if tmpl is None:
+            pose_fixed = np.zeros(f, bool)
+            vel_fixed = np.ones(f, bool)
+            if imu_ref is not None:
+                pose_fixed[0] = True
+                vel_fixed[1] = False
+            tmpl = _gn.BAProblem(
+                frames=fstates,
+                pose_fixed=jnp.asarray(pose_fixed),
+                vel_fixed=jnp.asarray(vel_fixed),
+                points=jnp.asarray(points),
+                point_fixed=jnp.ones(P, bool),
+                point_obs=jnp.asarray(obs),
+                point_obs_mask=jnp.asarray(mask),
+                lines=jnp.asarray(np.tile([1.0, 0, 0, 0, 1.0, 0], (1, 1))),
+                line_fixed=jnp.ones(1, bool),
+                line_obs=jnp.zeros((1, f, 8)),
+                line_obs_stereo=jnp.zeros((1, f), bool),
+                line_obs_mask=jnp.zeros((1, f), bool),
+                line_obs_sigma=jnp.full((1, f), 0.5),
+                Rwg=jnp.asarray(self.map.Rwg),
+                gravity_free=jnp.asarray(0.0),
+                imu=imu_factors,
+                Rcb=jnp.asarray(Tcb[:3, :3]),
+                tcb=jnp.asarray(Tcb[:3, 3]),
+                g_value=self.map.g_value,
+            )
+            if not hasattr(self, "_pose_problem_tmpl"):
+                self._pose_problem_tmpl = {}
+            self._pose_problem_tmpl[(P, f)] = tmpl
+            problem = tmpl
+        else:
+            problem = tmpl._replace(
+                frames=fstates, points=jnp.asarray(points),
+                point_obs=jnp.asarray(obs), point_obs_mask=jnp.asarray(mask),
+                Rwg=jnp.asarray(self.map.Rwg), imu=imu_factors,
+            )
         out, p_in, _, n_in = _w.pose_only_optimization(
             problem, self.map._intr, self.map.ba_config,
             vi_tracking=True if imu_factors is not None else None)

@@ -217,38 +217,65 @@ class Map:
         """Refresh endpoints after BA moved the infinite line
         (map.cc:192-340): project each observation's 2D endpoints onto the
         3D line and keep the extreme pair."""
-        from airslam_tpu.frontend.lines import endpoint_trim_np
+        self.update_maplines_endpoints_batch([mpl])
 
-        if mpl.type != LandmarkType.GOOD:
-            return
-        obs2d, Rcws, tcws = [], [], []
-        for fid, lidx in mpl.observers.items():
-            kf = self.keyframes.get(fid)
-            if kf is None:
+    def update_maplines_endpoints_batch(self, mpls):
+        """Endpoint maintenance for MANY maplines in one vectorized numpy
+        pass (host-budget cut: one call per window line cost ~0.25 ms of
+        numpy-op overhead each after every local BA; the flattened
+        (line, observer) row batch is a single pass + segment min/max)."""
+        from airslam_tpu.frontend.lines import endpoint_trim_rows_np
+
+        rows_obs, rows_Twc, rows_seg = [], [], []
+        live = []
+        for mpl in mpls:
+            if mpl.type != LandmarkType.GOOD:
                 continue
-            Rcw = kf.Twc[:3, :3].T
-            obs2d.append(kf.lines[lidx])
-            Rcws.append(Rcw)
-            tcws.append(-Rcw @ kf.Twc[:3, 3])
-        if not obs2d:
+            s = len(live)
+            any_obs = False
+            for fid, lidx in mpl.observers.items():
+                kf = self.keyframes.get(fid)
+                if kf is None:
+                    continue
+                rows_obs.append(kf.lines[lidx])
+                rows_Twc.append(kf.Twc)
+                rows_seg.append(s)
+                any_obs = True
+            if any_obs:
+                live.append(mpl)
+            # else: segment s unused; next live line reuses it
+        if not live:
             return
-        # numpy host twin of frontend.lines.endpoint_trim: the eager-jnp
-        # per-observation version dominated keyframe insertion (~50 tiny
-        # dispatches per observer)
-        ends = endpoint_trim_np(
-            mpl.line3d, np.asarray(obs2d), np.asarray(Rcws), np.asarray(tcws),
+        M = len(rows_obs)
+        seg = np.asarray(rows_seg)
+        Twc = np.asarray(rows_Twc, np.float64)  # (M, 4, 4)
+        Rcw = np.swapaxes(Twc[:, :3, :3], -1, -2)
+        tcw = -np.einsum("nij,nj->ni", Rcw, Twc[:, :3, 3])
+
+        lines = np.asarray([m.line3d for m in live], np.float64)  # (S, 6)
+        w3, d3 = lines[:, 0:3], lines[:, 3:6]
+        nd = np.clip(np.linalg.norm(d3, axis=-1, keepdims=True), 1e-12, None)
+        dvec = d3 / nd
+        p0 = np.cross(dvec, w3 / nd)  # (S, 3)
+
+        ends = endpoint_trim_rows_np(
+            p0[seg], dvec[seg], np.asarray(rows_obs, np.float64), Rcw, tcw,
             float(self.camera.fx), float(self.camera.fy),
             float(self.camera.cx), float(self.camera.cy),
-        )
-        pts = np.concatenate([ends[:, 0:3], ends[:, 3:6]], axis=0)
-        line = np.asarray(mpl.line3d, np.float64)
-        w3, d3 = line[0:3], line[3:6]
-        nd = max(float(np.linalg.norm(d3)), 1e-12)
-        p0, d = np.cross(d3 / nd, w3 / nd), d3 / nd
-        t = (pts - p0) @ d
-        mpl.endpoints = np.concatenate([p0 + t.min() * d, p0 + t.max() * d])
-        mpl.endpoints_valid = True
-        mpl.to_update_endpoints = False
+        )  # (M, 6)
+        pts = np.concatenate([ends[:, 0:3], ends[:, 3:6]], axis=0)  # (2M, 3)
+        seg2 = np.concatenate([seg, seg])
+        t = np.einsum("ni,ni->n", pts - p0[seg2], dvec[seg2])
+        S = len(live)
+        t_min = np.full(S, np.inf)
+        t_max = np.full(S, -np.inf)
+        np.minimum.at(t_min, seg2, t)
+        np.maximum.at(t_max, seg2, t)
+        for s, mpl in enumerate(live):
+            mpl.endpoints = np.concatenate(
+                [p0[s] + t_min[s] * dvec[s], p0[s] + t_max[s] * dvec[s]])
+            mpl.endpoints_valid = True
+            mpl.to_update_endpoints = False
 
     # ------------------------------------------------------------------
     # local BA (map.cc:556-849)
@@ -512,6 +539,7 @@ class Map:
 
         lns = np.asarray(out.lines)
         l_in = np.asarray(l_in)
+        refresh = []
         for j, mpl in enumerate(mpls):
             mpl.set_line3d(lns[j])
             for fid in list(mpl.observers):
@@ -526,7 +554,8 @@ class Map:
             if len(mpl.observers) == 0:
                 mpl.set_bad()
             else:
-                self.update_mapline_endpoints(mpl)
+                refresh.append(mpl)
+        self.update_maplines_endpoints_batch(refresh)
 
     # beyond this window size the dense (P, F) grid formulation is replaced
     # by the sparse observation-list GlobalBA (backend/global_ba.py)
