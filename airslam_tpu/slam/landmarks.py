@@ -72,17 +72,18 @@ class Mapline:
         return self.type == LandmarkType.GOOD
 
     def set_endpoints(self, endpoints: np.ndarray, update_line: bool = True):
-        from airslam_tpu.core import lie
-        import jax.numpy as jnp
-
         self.endpoints = np.asarray(endpoints, float)
         self.endpoints_valid = True
         if update_line:
+            # numpy twin of lie.line_from_endpoints (ComputeLine3DFromEndpoints,
+            # src/line_processor.cc:312-326): a per-landmark jit dispatch here
+            # costs ~100 µs of host glue for a 6-float result
             p1, p2 = self.endpoints[:3], self.endpoints[3:]
-            if np.linalg.norm(p2 - p1) >= 0.01:  # line_processor.cc:317
-                self.line3d = np.asarray(
-                    lie.line_from_endpoints(jnp.asarray(p1), jnp.asarray(p2))
-                )
+            d = p2 - p1
+            n = np.linalg.norm(d)
+            if n >= 0.01:  # line_processor.cc:317
+                d = d / n
+                self.line3d = np.concatenate([np.cross(p1, d), d])
                 self.type = LandmarkType.GOOD
 
     def set_line3d(self, line: np.ndarray):

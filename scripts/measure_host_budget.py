@@ -81,6 +81,7 @@ def main():
     import jax.numpy as jnp
 
     from airslam_tpu.backend import triangulate, windows
+    from airslam_tpu.frontend import lines as lines_mod
     from airslam_tpu.frontend.detector import DetectorConfig, FeatureDetector
     from airslam_tpu.frontend.matcher import MatcherConfig, PointMatcher
     from airslam_tpu.models import weights as wio
@@ -88,13 +89,18 @@ def main():
     from apps.benchmark_system import SynthCamera, make_sequence
 
     clock = DeviceClock()
-    # wrap every jitted backend entry the frame/keyframe path dispatches
+    # wrap every jitted device program the frame/keyframe path dispatches —
+    # including the fused line-relation and line-tracking programs, which are
+    # XLA executables (on a TPU process they run on-chip), not Python
+    # bookkeeping
     for mod, name in ((windows, "pose_only_optimization"),
                       (windows, "local_ba"),
                       (windows, "imu_initialization"),
                       (windows, "compute_gyr_bias"),
                       (windows, "compute_velocity"),
-                      (triangulate, "triangulate_points_batch")):
+                      (triangulate, "triangulate_points_batch"),
+                      (lines_mod, "frame_relations"),
+                      (lines_mod, "match_lines_by_points")):
         setattr(mod, name, clock.wrap(getattr(mod, name)))
 
     print(f"rendering {args.frames}-frame loop sequence ...", flush=True)
