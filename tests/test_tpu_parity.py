@@ -95,3 +95,12 @@ def test_e2e_artifact_green():
         art = json.load(f)
     failing = [c["name"] for c in art["checks"] if not c["pass"]]
     assert art["ok"] and not failing, f"red e2e artifact: {failing}"
+    # round-4 verdict item 1: ALL THREE production stages must have run on
+    # the chip (mapping, refinement, relocalization), not just the VO CLI
+    assert set(art.get("stages", [])) == {1, 2, 3}, art.get("stages")
+    assert {"stage1_vo", "stage2_refine", "stage3_reloc"} <= set(
+        art["runs"]), list(art["runs"])
+    for stage, key in (("stage1_vo", "wall_s"), ("stage2_refine", "wall_s"),
+                       ("stage3_reloc", "wall_s")):
+        for dev in ("cpu", "tpu"):
+            assert art["runs"][stage][dev][key] > 0, (stage, dev)
