@@ -96,3 +96,22 @@ def extreme_projections(line_cart, points, mask):
     t_min = jnp.min(jnp.where(mask, t, jnp.inf))
     t_max = jnp.max(jnp.where(mask, t, -jnp.inf))
     return jnp.concatenate([p0 + t_min * d, p0 + t_max * d])
+
+
+@jax.jit
+def fit_lines_batch(points, mask):
+    """Batched robust line fits: vmapped ``fit_line_huber`` +
+    ``extreme_projections`` over a (B, P, 3) point grid.
+
+    One device program per keyframe instead of a dispatch per mapline —
+    per-landmark calls cost a device round trip each AND a fresh XLA compile
+    for every previously-unseen pad size (measured 376 ms per new bucket on
+    CPU; the grid shape here is fixed by the caller's bucketing).
+    Returns (endpoints (B, 6), ok (B,))."""
+
+    def one(p, m):
+        cart, inliers, ok = fit_line_huber(p, m)
+        ends = extreme_projections(cart, p, inliers)
+        return ends, ok
+
+    return jax.vmap(one)(points, mask)

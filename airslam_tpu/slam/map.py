@@ -35,6 +35,30 @@ def _bucket(n: int, step: int = 64) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+def _pow2_bucket(n: int, lo: int = 8) -> int:
+    """Power-of-two pad: bounds the number of distinct compiled shapes to
+    log2(max) — a linear bucket walk (16, 32, 48, …) pays a fresh XLA
+    compile (~0.4 s) for every new size it meets."""
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def triangulate_stereo_lines_frame(frame, intr, min_x_diff, max_x_diff):
+    """Every stereo line triangulation of a frame in ONE static-shape device
+    call (line_processor.cc:196-245 runs per line; the (L, 4) line budget is
+    fixed so this compiles exactly once). Returns (endpoints_w (L, 6),
+    ok (L,)) as device arrays."""
+    from airslam_tpu.frontend.lines import triangulate_stereo_lines
+
+    return triangulate_stereo_lines(
+        jnp.asarray(frame.lines), jnp.asarray(frame.lines_right),
+        jnp.asarray(frame.lines_right_valid),
+        jnp.asarray(frame.Twc[:3, :3]), jnp.asarray(frame.Twc[:3, 3]),
+        intr, min_x_diff, max_x_diff)
+
+
 class Map:
     def __init__(self, camera, ba_config: Optional[gn.BAConfig] = None):
         self.camera = camera
@@ -97,25 +121,37 @@ class Map:
         if need_triangulation:
             self.triangulate_mappoints_batch(need_triangulation)
 
-        # lines
-        for i in np.nonzero(frame.line_mask)[0]:
+        # lines — stereo triangulation for the WHOLE frame in one
+        # static-shape device call (the (L, 4) line budget is fixed, so this
+        # compiles exactly once), and the from-points fits collected and
+        # solved in one batched call after the loop (a per-mapline dispatch
+        # costs a round trip + a compile per unseen pad size)
+        line_ids = np.nonzero(frame.line_mask)[0]
+        stereo_ends, stereo_ok = None, None
+        if len(line_ids) and frame.lines_right_valid.any():
+            ends_all, ok_all = triangulate_stereo_lines_frame(
+                frame, self._intr, self.camera.min_x_diff,
+                self.camera.max_x_diff)
+            stereo_ends, stereo_ok = np.asarray(ends_all), np.asarray(ok_all)
+        need_line_triangulation = []
+        for i in line_ids:
             ltid = int(frame.line_track_ids[i])
             if ltid < 0:
                 continue
             mpl = self.maplines.get(ltid)
             if mpl is None:
                 mpl = Mapline(ltid)
-                if frame.lines_right_valid[i]:
-                    ends = self._triangulate_stereo_line(frame, int(i))
-                    if ends is not None:
-                        mpl.set_endpoints(ends)
-                        mpl.endpoint_status[fid] = 1
+                if stereo_ok is not None and stereo_ok[i]:
+                    mpl.set_endpoints(stereo_ends[i])
+                    mpl.endpoint_status[fid] = 1
                 self.maplines[ltid] = mpl
             frame.mapline_ids[i] = ltid
             mpl.add_observer(fid, int(i))
             mpl.endpoint_status.setdefault(fid, 0)
             if mpl.type == LandmarkType.UNTRIANGULATED and len(mpl.observers) >= 2:
-                self.triangulate_mapline_by_mappoints(mpl)
+                need_line_triangulation.append(mpl)
+        if need_line_triangulation:
+            self.triangulate_maplines_by_mappoints_batch(need_line_triangulation)
 
         self._update_covisibility(frame)
 
@@ -174,44 +210,48 @@ class Map:
                 good += 1
         return good
 
-    def _triangulate_stereo_line(self, frame: Frame, idx: int):
-        from airslam_tpu.frontend.lines import triangulate_stereo_lines
-
-        ends, ok = triangulate_stereo_lines(
-            jnp.asarray(frame.lines[idx][None]),
-            jnp.asarray(frame.lines_right[idx][None]),
-            jnp.ones(1, bool),
-            jnp.asarray(frame.Twc[:3, :3]), jnp.asarray(frame.Twc[:3, 3]),
-            self._intr, self.camera.min_x_diff, self.camera.max_x_diff,
-        )
-        return np.asarray(ends[0]) if bool(ok[0]) else None
-
     def triangulate_mapline_by_mappoints(self, mpl: Mapline):
         """Robust 3D line from the mappoints lying on the observed 2D lines
         (map.cc:416-504)."""
-        pts = []
-        for fid, lidx in mpl.observers.items():
-            kf = self.keyframes.get(fid)
-            if kf is None:
-                continue
-            for pidx in np.nonzero(kf.points_on_lines[lidx])[0]:
-                tid = int(kf.track_ids[pidx])
-                mpt = self.mappoints.get(tid)
-                if mpt is not None and mpt.is_valid:
-                    pts.append(mpt.position)
-        if len(pts) < 2:
-            return False
-        pts = np.asarray(pts)
-        pad = _bucket(len(pts), 16)
-        buf = np.zeros((pad, 3))
-        buf[: len(pts)] = pts
-        mask = np.arange(pad) < len(pts)
-        cart, inliers, ok = triangulate.fit_line_huber(jnp.asarray(buf), jnp.asarray(mask))
-        if not bool(ok):
-            return False
-        ends = triangulate.extreme_projections(cart, jnp.asarray(buf), inliers)
-        mpl.set_endpoints(np.asarray(ends))
-        return True
+        return self.triangulate_maplines_by_mappoints_batch([mpl]) > 0
+
+    def triangulate_maplines_by_mappoints_batch(self, mpls,
+                                                max_pts: int = 64) -> int:
+        """Fit many maplines from their supporting mappoints in ONE vmapped
+        device call (map.cc:416-504 runs per line). The point gather stays in
+        numpy; the (B, max_pts, 3) grid is power-of-two bucketed so the
+        compiled-shape count is bounded. Returns #successfully fit."""
+        cands = []
+        for mpl in mpls:
+            pts = []
+            for fid, lidx in mpl.observers.items():
+                kf = self.keyframes.get(fid)
+                if kf is None:
+                    continue
+                for pidx in np.nonzero(kf.points_on_lines[lidx])[0]:
+                    tid = int(kf.track_ids[pidx])
+                    mpt = self.mappoints.get(tid)
+                    if mpt is not None and mpt.is_valid:
+                        pts.append(mpt.position)
+            if len(pts) >= 2:
+                cands.append((mpl, pts[:max_pts]))
+        if not cands:
+            return 0
+        B = _pow2_bucket(len(cands))
+        buf = np.zeros((B, max_pts, 3))
+        mask = np.zeros((B, max_pts), bool)
+        for b, (_, pts) in enumerate(cands):
+            buf[b, : len(pts)] = pts
+            mask[b, : len(pts)] = True
+        ends, oks = triangulate.fit_lines_batch(jnp.asarray(buf),
+                                                jnp.asarray(mask))
+        ends, oks = np.asarray(ends), np.asarray(oks)
+        good = 0
+        for b, (mpl, _) in enumerate(cands):
+            if oks[b]:
+                mpl.set_endpoints(ends[b])
+                good += 1
+        return good
 
     def update_mapline_endpoints(self, mpl: Mapline):
         """Refresh endpoints after BA moved the infinite line
