@@ -145,8 +145,12 @@ class MapBuilder:
                                          detect_junctions=True)
             import jax.tree_util as jtu
 
-            f0 = jtu.tree_map(lambda t: np.asarray(t[0]), feats)
-            f1 = jtu.tree_map(lambda t: np.asarray(t[1]), feats)
+            # ONE host pull of the whole feature tree — per-leaf ``t[0]``
+            # slices cost a device dispatch + transfer each (~22 per frame;
+            # through the TPU tunnel each is a network round trip)
+            feats_np = jax.device_get(feats)
+            f0 = jtu.tree_map(lambda t: t[0], feats_np)
+            f1 = jtu.tree_map(lambda t: t[1], feats_np)
         with sect("stereo_match"):
             pairs, temporal = self._stereo_and_temporal(f0, f1)
         with sect("track"):
